@@ -1,0 +1,117 @@
+"""Public API: `compute_msm` — parity with the reference submission entry.
+
+Reference signature (README.md:63, submission.ts:25):
+
+    compute_msm(baseAffinePoints, scalars) -> {x, y}
+
+Accepted input forms, mirroring `BigIntPoint[] | U32ArrayPoint[]`:
+- points: list of (x, y) or (x, y, t, z) int tuples / `ExtPoint`s, or a
+  numpy array of shape [n, 32] of big-endian u32 words (x||y||t||z), or a
+  dict with keys x/y/t/z of [n, 8] big-endian u32 arrays.
+- scalars: list of ints, or [n, 8] big-endian u32 array.
+
+The heavy lifting happens in `engines/` (device pipelines) — selected by
+`MSMConfig`, defaulting to the TPU engine when a device is available and the
+oracle engine otherwise.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from .config import MSMConfig
+from .oracle import curve
+from .oracle.curve import ExtPoint
+from .utils import convert
+
+
+@dataclass(frozen=True)
+class AffinePoint:
+    x: int
+    y: int
+
+
+def _normalize_scalars(scalars: Any) -> list[int]:
+    if isinstance(scalars, np.ndarray):
+        return convert.u32_be_to_bigints(scalars)
+    out = []
+    for s in scalars:
+        if isinstance(s, np.ndarray):
+            out.append(convert.u32_be_to_bigints(s.reshape(1, 8))[0])
+        else:
+            out.append(int(s))
+    return out
+
+
+def _normalize_points(points: Any) -> list[ExtPoint]:
+    if isinstance(points, np.ndarray):
+        arr = np.asarray(points, dtype=np.uint32).reshape(-1, 32)
+        xs = convert.u32_be_to_bigints(arr[:, 0:8])
+        ys = convert.u32_be_to_bigints(arr[:, 8:16])
+        ts = convert.u32_be_to_bigints(arr[:, 16:24])
+        zs = convert.u32_be_to_bigints(arr[:, 24:32])
+        return [ExtPoint(x, y, t, z) for x, y, t, z in zip(xs, ys, ts, zs)]
+    if isinstance(points, dict):
+        xs = convert.u32_be_to_bigints(points["x"])
+        ys = convert.u32_be_to_bigints(points["y"])
+        ts = convert.u32_be_to_bigints(points["t"])
+        zs = convert.u32_be_to_bigints(points["z"])
+        return [ExtPoint(x, y, t, z) for x, y, t, z in zip(xs, ys, ts, zs)]
+    out = []
+    for p in points:
+        if isinstance(p, ExtPoint):
+            out.append(p)
+        elif isinstance(p, dict):
+            out.append(
+                ExtPoint(int(p["x"]), int(p["y"]), int(p["t"]), int(p.get("z", 1)))
+            )
+        elif len(p) == 2:
+            out.append(curve.from_affine(int(p[0]), int(p[1])))
+        else:
+            x, y, t, z = (int(v) for v in p)
+            out.append(ExtPoint(x, y, t, z))
+    return out
+
+
+def compute_msm(
+    points: Any,
+    scalars: Any,
+    config: Optional[MSMConfig] = None,
+    engine: Optional[str] = None,
+) -> AffinePoint:
+    """Compute sum_i scalars[i] * points[i]; returns the affine result.
+
+    engine: "tpu" (default when a JAX device is usable), "oracle"
+    (pure-Python reference), or "cpu" (native C++ engine, if built).
+    """
+    config = config or MSMConfig()
+    pts = _normalize_points(points)
+    sc = _normalize_scalars(scalars)
+    if len(pts) != len(sc):
+        raise ValueError(f"points/scalars length mismatch: {len(pts)} vs {len(sc)}")
+    if not pts:
+        return AffinePoint(0, 1)
+
+    if engine is None:
+        engine = "tpu"
+
+    if engine == "oracle":
+        from .oracle import msm as omsm
+
+        w = config.resolved_window_size(len(pts))
+        result = omsm.msm(pts, sc, window_size=w)
+        x, y = curve.to_affine(result)
+        return AffinePoint(x, y)
+    if engine == "cpu":
+        from .engines import cpu_engine
+
+        x, y = cpu_engine.msm_affine(pts, sc, config)
+        return AffinePoint(x, y)
+    if engine == "tpu":
+        from .engines import tpu_engine
+
+        x, y = tpu_engine.msm_affine(pts, sc, config)
+        return AffinePoint(x, y)
+    raise ValueError(f"unknown engine {engine!r}")

@@ -1,0 +1,95 @@
+"""Input marshalling: bigint <-> u32-limb numpy arrays.
+
+The reference accepts either `BigIntPoint[]` or `U32ArrayPoint[]` inputs
+(README.md:63-96) with 8 big-endian u32 words per 256-bit value
+(`src/reference/webgpu/utils.ts:40-79`, `src/submission/convert_worker.ts`).
+We keep that external format for API parity and convert to the internal
+device layout: little-endian u32 words, shape [n_words, n] (limb-planar SoA).
+
+A multi-threaded C++ fast path lives in `webgpu_msm_tpu/runtime` (the
+equivalent of the reference's 8 parallel convert workers, submission.ts:50-74);
+this module is the portable numpy path and the format definition.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+N_WORDS = 8  # u32 words per 256-bit value
+SCALAR_BITS = 256
+
+
+def bigints_to_u32_be(values: Sequence[int]) -> np.ndarray:
+    """[n] python ints -> [n, 8] big-endian u32 (the reference's wire format)."""
+    n = len(values)
+    out = np.empty((n, N_WORDS), dtype=np.uint32)
+    for i, v in enumerate(values):
+        for w in range(N_WORDS):
+            out[i, N_WORDS - 1 - w] = (v >> (32 * w)) & 0xFFFFFFFF
+    return out
+
+
+def u32_be_to_bigints(arr: np.ndarray) -> list[int]:
+    """[n, 8] big-endian u32 -> python ints."""
+    arr = np.asarray(arr, dtype=np.uint32).reshape(-1, N_WORDS)
+    out = []
+    for row in arr:
+        v = 0
+        for w in range(N_WORDS):
+            v = (v << 32) | int(row[w])
+        out.append(v)
+    return out
+
+
+def bigints_to_words_le(values: Sequence[int]) -> np.ndarray:
+    """[n] python ints -> [8, n] little-endian u32 word-planes (device layout).
+
+    Vectorized: builds via bytes -> uint32 view.
+    """
+    n = len(values)
+    buf = bytearray(n * 32)
+    for i, v in enumerate(values):
+        buf[i * 32 : (i + 1) * 32] = int(v).to_bytes(32, "little")
+    words = np.frombuffer(bytes(buf), dtype="<u4").reshape(n, N_WORDS)
+    return np.ascontiguousarray(words.T)
+
+
+def words_le_to_bigints(arr: np.ndarray) -> list[int]:
+    """[8, n] little-endian u32 word-planes -> python ints."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    assert arr.shape[0] == N_WORDS
+    rows = np.ascontiguousarray(arr.T)  # [n, 8] LE
+    data = rows.astype("<u4").tobytes()
+    return [
+        int.from_bytes(data[i * 32 : (i + 1) * 32], "little")
+        for i in range(rows.shape[0])
+    ]
+
+
+def be_rows_to_words_le(arr: np.ndarray) -> np.ndarray:
+    """[n, 8] big-endian rows (wire format) -> [8, n] little-endian planes."""
+    arr = np.asarray(arr, dtype=np.uint32).reshape(-1, N_WORDS)
+    return np.ascontiguousarray(arr[:, ::-1].T)
+
+
+def words_le_to_be_rows(arr: np.ndarray) -> np.ndarray:
+    """[8, n] little-endian planes -> [n, 8] big-endian rows."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    return np.ascontiguousarray(arr.T[:, ::-1])
+
+
+def points_to_words_le(
+    xs: Sequence[int], ys: Sequence[int], ts: Sequence[int], zs: Sequence[int]
+) -> np.ndarray:
+    """Four coordinate lists -> [4, 8, n] LE word-planes (x, y, t, z)."""
+    return np.stack(
+        [
+            bigints_to_words_le(xs),
+            bigints_to_words_le(ys),
+            bigints_to_words_le(ts),
+            bigints_to_words_le(zs),
+        ]
+    )

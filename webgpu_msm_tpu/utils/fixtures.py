@@ -1,0 +1,82 @@
+"""Test-case generation and caching (the reference's `src/test-data` analog).
+
+The reference ships LFS fixtures for 2^16..2^20 with pinned expected results
+(`src/test-data/testCases.ts:12-31`); those input files are unhydrated in our
+checkout, so fixtures are regenerated with the same distribution the
+reference's random-input mode uses (`src/ui/AllBenchmarks.tsx:107-143`):
+a fixed base point repeated n times plus uniformly random field-element
+scalars. Expected results come from our oracle — for the repeated-base case
+sum_i(s_i)·B == MSM, which makes exact expected values cheap at any n.
+
+Fixtures with *distinct* points (for small n, where point/scalar mixups would
+otherwise go unnoticed) are generated from deterministic scalar multiples of
+the base point.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..oracle import curve, field, msm as oracle_msm
+from ..oracle.curve import ExtPoint
+from ..oracle.testdata import base_point
+
+
+@dataclass
+class TestCase:
+    points: list[ExtPoint]  # extended affine: z == 1, t == x*y
+    scalars: list[int]
+    expected: tuple[int, int]  # affine (x, y)
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def random_scalars(n: int, seed: int = 0, bits: int = 253) -> list[int]:
+    """Uniform scalars below the field modulus (reference utils.ts:81-99)."""
+    rng = _rng(seed)
+    out = []
+    raw = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
+    for i in range(n):
+        v = 0
+        for w in range(8):
+            v = (v << 32) | int(raw[i, w])
+        out.append(v % field.P)
+    return out
+
+
+def repeated_base_case(n: int, seed: int = 0) -> TestCase:
+    """n copies of the pinned base point with random scalars; O(1) expected."""
+    b = base_point()
+    scalars = random_scalars(n, seed=seed)
+    total = sum(scalars)
+    expected = curve.to_affine(curve.scalar_mul(b, total))
+    return TestCase(points=[b] * n, scalars=scalars, expected=expected)
+
+
+def distinct_points(n: int, seed: int = 1) -> list[ExtPoint]:
+    """n distinct subgroup points: k_i * B for deterministic pseudorandom k_i."""
+    b = base_point()
+    pts = []
+    for i in range(n):
+        k = (
+            int.from_bytes(
+                hashlib.sha256(f"tpu-msm-point-{seed}-{i}".encode()).digest(), "big"
+            )
+            % field.SUBGROUP_ORDER
+        )
+        p = curve.scalar_mul(b, k)
+        x, y = curve.to_affine(p)
+        pts.append(curve.from_affine(x, y))
+    return pts
+
+
+def distinct_case(n: int, seed: int = 1, window_size: int = 13) -> TestCase:
+    """Distinct points + random scalars; expected via the serial oracle MSM."""
+    pts = distinct_points(n, seed=seed)
+    scalars = random_scalars(n, seed=seed + 1000)
+    expected = curve.to_affine(oracle_msm.msm(pts, scalars, window_size))
+    return TestCase(points=pts, scalars=scalars, expected=expected)
