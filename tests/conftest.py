@@ -2,16 +2,22 @@
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding is exercised
 without TPU hardware (SURVEY.md §4: the distributed tier the reference never
-had). The env vars must be set before the first `import jax`.
+had). The environment forces JAX_PLATFORMS=axon (TPU tunnel) globally, so we
+must override — both the env var (before jax initializes) and the config
+(the axon plugin registration wins over the env var otherwise).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,139 @@
+"""Vectorized extended twisted Edwards point ops over digit planes.
+
+TPU-native re-design of the reference's WGSL curve library
+(`src/submission/wgsl/curve.wgsl:36-114`): the same unified add-2008-hwcd /
+dbl-2008-hwcd formulas (a = -1, d = 3021), but batched — each VPU lane holds
+one point, coordinates live in the Montgomery domain as 16 uint32 digit
+planes per coordinate.
+
+A point batch is a `PointVec(x, y, t, z)` of digit-plane lists; all ops are
+elementwise across the batch shape.
+
+Cost (per lane): unified add = 9 Montgomery muls; mixed add (z2 = 1,
+i.e. fresh input points, which is the accumulation hot path) = 8; double =
+4 muls + 4 squares.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+from ..oracle.field import P, R, R_MOD_P, EDWARDS_D
+from . import field_ops, limbs
+from .field_ops import field_add, field_sub, field_neg, mont_mul, mont_sqr, mul_plain_const
+
+
+class PointVec(NamedTuple):
+    """Batch of extended points; each coordinate is a list of 16 digit planes."""
+
+    x: list
+    y: list
+    t: list
+    z: list
+
+    @property
+    def shape(self):
+        return self.x[0].shape
+
+    def stacked(self) -> jnp.ndarray:
+        """[4, 16, *batch] uint32."""
+        return jnp.stack(
+            [limbs.stack(self.x), limbs.stack(self.y), limbs.stack(self.t), limbs.stack(self.z)]
+        )
+
+    @staticmethod
+    def from_stacked(arr: jnp.ndarray) -> "PointVec":
+        return PointVec(
+            limbs.unstack(arr[0]),
+            limbs.unstack(arr[1]),
+            limbs.unstack(arr[2]),
+            limbs.unstack(arr[3]),
+        )
+
+
+def identity(shape=()) -> PointVec:
+    """(0, 1, 0, 1) in the Montgomery domain: (0, R, 0, R)."""
+    zero = limbs.digits_of_int(0, shape)
+    one = limbs.digits_of_int(R_MOD_P, shape)
+    return PointVec(zero, one, [z for z in zero], [o for o in one])
+
+
+def add(p1: PointVec, p2: PointVec) -> PointVec:
+    """Unified addition (curve.wgsl:36-63); complete on the subgroup."""
+    a = mont_mul(p1.x, p2.x)
+    b = mont_mul(p1.y, p2.y)
+    tt = mont_mul(p1.t, p2.t)
+    c = mul_plain_const(tt, EDWARDS_D)
+    d = mont_mul(p1.z, p2.z)
+    e = field_sub(
+        mont_mul(field_add(p1.x, p1.y), field_add(p2.x, p2.y)),
+        field_add(a, b),
+    )
+    f = field_sub(d, c)
+    g = field_add(d, c)
+    h = field_add(b, a)  # B - a*A, a = -1
+    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def add_mixed(p1: PointVec, p2_x, p2_y, p2_t) -> PointVec:
+    """p1 + p2 where p2.z == 1 (Montgomery R): saves the Z1*Z2 multiply.
+
+    Input points arrive in extended affine form (z = 1, README.md:66-96), so
+    the bucket-accumulation inner loop always takes this path.
+    """
+    a = mont_mul(p1.x, p2_x)
+    b = mont_mul(p1.y, p2_y)
+    tt = mont_mul(p1.t, p2_t)
+    c = mul_plain_const(tt, EDWARDS_D)
+    d = p1.z  # Z1 * 1
+    e = field_sub(
+        mont_mul(field_add(p1.x, p1.y), field_add(p2_x, p2_y)),
+        field_add(a, b),
+    )
+    f = field_sub(d, c)
+    g = field_add(d, c)
+    h = field_add(b, a)
+    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def double(p: PointVec) -> PointVec:
+    """Dedicated doubling (curve.wgsl:93-114, dbl-2008-hwcd a = -1)."""
+    a = mont_sqr(p.x)
+    b = mont_sqr(p.y)
+    zz = mont_sqr(p.z)
+    c = field_add(zz, zz)
+    d = field_neg(a)
+    h = field_sub(d, b)
+    e = field_add(mont_sqr(field_add(p.x, p.y)), h)
+    g = field_add(d, b)
+    f = field_sub(g, c)
+    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def select(mask: jnp.ndarray, a: PointVec, b: PointVec) -> PointVec:
+    """Per-lane: mask ? a : b."""
+    return PointVec(
+        limbs.select(mask, a.x, b.x),
+        limbs.select(mask, a.y, b.y),
+        limbs.select(mask, a.t, b.t),
+        limbs.select(mask, a.z, b.z),
+    )
+
+
+def to_mont(p: PointVec) -> PointVec:
+    return PointVec(
+        field_ops.to_mont(p.x),
+        field_ops.to_mont(p.y),
+        field_ops.to_mont(p.t),
+        field_ops.to_mont(p.z),
+    )
+
+
+def from_mont(p: PointVec) -> PointVec:
+    return PointVec(
+        field_ops.from_mont(p.x),
+        field_ops.from_mont(p.y),
+        field_ops.from_mont(p.t),
+        field_ops.from_mont(p.z),
+    )
