@@ -1,0 +1,60 @@
+"""End-to-end single-chip MSM vs the oracle (bit-exact).
+
+The TPU-build analog of the reference's in-browser correctness harness
+(testCases.ts pinned results + the live Aleo oracle, SURVEY.md §4.3), run on
+the CPU backend with small shapes.
+"""
+import numpy as np
+import pytest
+
+import webgpu_msm_tpu as m
+from webgpu_msm_tpu import MSMConfig
+from webgpu_msm_tpu.oracle import curve
+from webgpu_msm_tpu.utils import fixtures
+
+
+@pytest.mark.parametrize("n,w,C,L", [
+    (64, 8, 8, 8),
+    (100, 8, 8, 16),   # padding exercised (100 < 128)
+])
+def test_tpu_engine_matches_oracle_distinct(n, w, C, L):
+    pts = fixtures.distinct_points(n, seed=60 + n)
+    scalars = fixtures.random_scalars(n, seed=70 + n)
+    cfg = MSMConfig(window_size=w, n_chunks=C, chunk_len=L)
+    got = m.compute_msm(pts, scalars, config=cfg, engine="tpu")
+    want = m.compute_msm(pts, scalars, config=MSMConfig(window_size=w), engine="oracle")
+    assert (got.x, got.y) == (want.x, want.y)
+
+
+def test_tpu_engine_repeated_base():
+    case = fixtures.repeated_base_case(128, seed=80)
+    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=16)
+    got = m.compute_msm(case.points, case.scalars, config=cfg, engine="tpu")
+    assert (got.x, got.y) == case.expected
+
+
+def test_tpu_engine_adversarial_scalars():
+    """Skewed digit distributions: all-equal scalars (one giant bucket run
+    spanning every chunk), zeros, max scalars — the worst cases for the
+    segmented-scan design."""
+    b = fixtures.base_point()
+    n = 64
+    pts = [b] * n
+    for scal in [
+        [12345] * n,                      # one bucket gets everything
+        [0] * n,                          # all zero digits
+        [(1 << 253) - 1] * n,             # all-ones digits
+        list(range(n)),                   # dense small buckets
+    ]:
+        cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8)
+        got = m.compute_msm(pts, scal, config=cfg, engine="tpu")
+        want = m.compute_msm(pts, scal, config=MSMConfig(window_size=8), engine="oracle")
+        assert (got.x, got.y) == (want.x, want.y), f"scalars={scal[:3]}..."
+
+
+def test_tpu_engine_single_point():
+    b = fixtures.base_point()
+    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8)
+    got = m.compute_msm([b], [987654321], config=cfg, engine="tpu")
+    want = curve.to_affine(curve.scalar_mul(b, 987654321))
+    assert (got.x, got.y) == want

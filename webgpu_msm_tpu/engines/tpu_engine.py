@@ -1,0 +1,134 @@
+"""TPU MSM engine: marshalling + device pipeline + host window combine.
+
+The counterpart of the reference's submission orchestrator
+(`src/submission/submission.ts:25-157`): window-size selection, input
+marshalling, device bucket accumulation/reduction, and the final combine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import MSMConfig
+from ..oracle import curve as ocurve
+from ..oracle import field as ofield
+from ..oracle.curve import ExtPoint
+from ..oracle.msm import combine_windows
+from ..ops import field_ops, limbs, pippenger, windows
+from ..utils import convert
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "n_chunks", "chunk_len"))
+def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len):
+    """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
+    pts_mont = jnp.stack(
+        [
+            limbs.stack(field_ops.to_mont(limbs.unstack(points_plain[i])))
+            for i in range(3)
+        ]
+    )
+    wsums_mont = pippenger.accumulate_and_reduce(
+        pts_mont,
+        scalar_words,
+        window_size=window_size,
+        n_chunks=n_chunks,
+        chunk_len=chunk_len,
+    )
+    out = jnp.stack(
+        [
+            limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
+            for i in range(4)
+        ]
+    )
+    return out
+
+
+def marshal_points(points: Sequence[ExtPoint], pad_to: int) -> np.ndarray:
+    """list of extended-affine points -> [3, 16, pad_to] digit planes (plain).
+
+    Points with z != 1 are normalized on the host (the API accepts general
+    extended coordinates; in practice inputs are extended affine).
+    """
+    n = len(points)
+    xs, ys, ts = [], [], []
+    for p in points:
+        if p.z != 1:
+            zi = ofield.finv(p.z)
+            x, y = p.x * zi % ofield.P, p.y * zi % ofield.P
+            t = x * y % ofield.P
+        else:
+            x, y, t = p.x % ofield.P, p.y % ofield.P, p.t % ofield.P
+        xs.append(x)
+        ys.append(y)
+        ts.append(t)
+    # identity padding: (0, 1, 0)
+    pad = pad_to - n
+    if pad:
+        xs += [0] * pad
+        ys += [1] * pad
+        ts += [0] * pad
+    words = np.stack(
+        [
+            convert.bigints_to_words_le(xs),
+            convert.bigints_to_words_le(ys),
+            convert.bigints_to_words_le(ts),
+        ]
+    )  # [3, 8, pad_to]
+    planes = np.empty((3, 16, pad_to), dtype=np.uint32)
+    for c in range(3):
+        for w_i in range(8):
+            planes[c, 2 * w_i] = words[c, w_i] & 0xFFFF
+            planes[c, 2 * w_i + 1] = words[c, w_i] >> 16
+    return planes
+
+
+def marshal_scalars(scalars: Sequence[int], pad_to: int) -> np.ndarray:
+    sc = list(scalars) + [0] * (pad_to - len(scalars))
+    return convert.bigints_to_words_le(sc)  # [8, pad_to]
+
+
+def window_sums_to_points(wsums: np.ndarray) -> list[ExtPoint]:
+    """[4, 16, K] plain digit planes -> K ExtPoints."""
+    K = wsums.shape[-1]
+    coords = []
+    for c in range(4):
+        words = np.empty((8, K), dtype=np.uint32)
+        for w_i in range(8):
+            words[w_i] = wsums[c, 2 * w_i] | (wsums[c, 2 * w_i + 1] << 16)
+        coords.append(convert.words_le_to_bigints(words))
+    return [
+        ExtPoint(coords[0][k], coords[1][k], coords[2][k], coords[3][k])
+        for k in range(K)
+    ]
+
+
+def msm_window_sums_host(
+    points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
+) -> tuple[list[ExtPoint], int]:
+    """Run the device pipeline; return (window_sums LSB-first, window_size)."""
+    n = len(points)
+    w = config.resolved_window_size(n)
+    C, L = config.resolved_chunking(n)
+    pad_to = C * L
+    pts = marshal_points(points, pad_to)
+    sc = marshal_scalars(scalars, pad_to)
+    out = _device_msm(
+        jnp.asarray(pts),
+        jnp.asarray(sc),
+        window_size=w,
+        n_chunks=C,
+        chunk_len=L,
+    )
+    return window_sums_to_points(np.asarray(out)), w
+
+
+def msm_affine(
+    points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
+) -> tuple[int, int]:
+    wsums, w = msm_window_sums_host(points, scalars, config)
+    result = combine_windows(wsums, w)
+    return ocurve.to_affine(result)

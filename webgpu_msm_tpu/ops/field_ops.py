@@ -4,32 +4,34 @@ TPU-native replacement for the reference's WGSL field library
 (`src/submission/wgsl/field_modulus.wgsl`). The reference's production path
 used double-and-add field multiplication because Montgomery lost on WebGPU
 (DESIGN.md:132-138 — no mulhi, no subgroup ops); those constraints don't
-bind here: with 16-bit digit planes, Montgomery product scanning (Comba
-columns + interleaved REDC) is a flat sequence of elementwise vector
-mul/add/shift ops, ~2.4k VPU ops per batched multiply regardless of batch
-width.
+bind here.
 
-Values are kept in the Montgomery domain (a*R mod p, R = 2^256) end-to-end;
-add/sub/select are domain-agnostic.
+Design: **separated-operand-scanning (SOS) Montgomery** over 16-bit digit
+planes, tensorized so each 256x256-bit multiply is a handful of large fused
+VPU ops instead of hundreds of scalar-graph nodes:
+
+    T    = a * b                      (one broadcasted [16,16,batch] multiply)
+    m    = (T mod R) * (-p^-1) mod R  (low-half multiply, R = 2^256)
+    res  = (T + m*p) / R              (constant multiply + carry propagation)
+
+Digit products are 16x16 -> 32-bit (exact in uint32 — the same digit split
+WGSL's u256_mul uses, u256.wgsl:419-444); columns accumulate lazily up to
+~2^22 before one carry-propagation pass. Values are kept in the Montgomery
+domain (a*R mod p) end-to-end; add/sub/select are domain-agnostic.
 """
 from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax.numpy as jnp
 
-from ..oracle.field import P, N0_INV_16, R_MOD_P, R2_MOD_P
+from ..oracle.field import P, N0_INV_256, R_MOD_P, R2_MOD_P, R
 from . import limbs
-from .limbs import (
-    DIGIT_BITS,
-    DIGIT_MASK,
-    N_DIGITS,
-    U32,
-    Digits,
-)
+from .limbs import DIGIT_BITS, DIGIT_MASK, N_DIGITS, U32, Digits
 
 _P_DIGITS = limbs.int_digits(P)
-_N0 = N0_INV_16
+_N0_DIGITS = limbs.int_digits(N0_INV_256)
 
 
 def field_add(a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]) -> Digits:
@@ -58,114 +60,109 @@ def field_neg(a: Sequence[jnp.ndarray]) -> Digits:
     return limbs.select(zero, a, p_minus_a)
 
 
-def _accumulate_product(
-    cols: list, a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]
-) -> None:
-    """cols[i+j] += lo16(a_i*b_j); cols[i+j+1] += hi16 — Comba columns.
+def _const_planes(digits16: list[int], batch_rank: int) -> jnp.ndarray:
+    """[16] int digits -> [16, 1, ...] uint32 broadcastable constant."""
+    arr = np.asarray(digits16, dtype=np.uint32).reshape((16,) + (1,) * batch_rank)
+    return jnp.asarray(arr)
 
-    Column magnitudes stay < 2^22 (<= 32 terms of < 2^16 plus REDC terms),
-    far from uint32 overflow.
+
+def _mul_columns(A: jnp.ndarray, B: jnp.ndarray, n_cols: int) -> list:
+    """Lazy Comba columns of the digit product of A [16,*S] and B.
+
+    B is [16,*S] or a broadcastable constant [16,1..]. Returns `n_cols`
+    columns (pass 32 for a full product, 16 for a mod-2^256 low half).
+    Column k collects lo16(a_i*b_j) for i+j == k and hi16 for i+j+1 == k;
+    each column stays < 2^21.
     """
+    prod = A[:, None] * B[None, :]  # [16, 16, *S]
+    lo = prod & DIGIT_MASK
+    hi = prod >> DIGIT_BITS
+    batch = prod.shape[2:]
+    width = n_cols
+    rows = []
+    pad_cfg = [(0, 0)] * (1 + len(batch))
     for i in range(N_DIGITS):
-        ai = a[i]
-        for j in range(N_DIGITS):
-            prod = ai * b[j]
-            lo = prod & DIGIT_MASK
-            hi = prod >> DIGIT_BITS
-            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
-            cols[i + j + 1] = hi if cols[i + j + 1] is None else cols[i + j + 1] + hi
+        # row i of lo contributes to columns i..i+15; hi to i+1..i+16.
+        lo_row = lo[i]
+        hi_row = hi[i]
+        if i < width:
+            take = min(width - i, N_DIGITS)
+            r = jnp.pad(lo_row[:take], [(i, width - i - take)] + pad_cfg[1:])
+            rows.append(r)
+        if i + 1 < width:
+            take = min(width - i - 1, N_DIGITS)
+            r = jnp.pad(hi_row[:take], [(i + 1, width - i - 1 - take)] + pad_cfg[1:])
+            rows.append(r)
+    cols = rows[0]
+    for r in rows[1:]:
+        cols = cols + r
+    return [cols[k] for k in range(width)]
 
 
-def _redc_in_place(cols: list) -> Digits:
-    """Interleaved Montgomery reduction over 32 lazy columns -> 16 digits.
+def _normalize(cols: list, n_out: int, keep_carry: bool):
+    """Carry-propagate lazy columns into 16-bit digits.
 
-    For each of the 16 low digit positions: m = cols[i] * (-p^-1) mod 2^16,
-    add m*p shifted by i digits, then fold the (now 16-bit-aligned) column
-    into the next. p's zero digits are skipped at trace time (the jnp
-    equivalent of the msm-macro's compile-time codegen, SURVEY.md §2.4.2).
+    Returns (digits[:n_out], final_carry or None). Columns beyond n_out are
+    not consumed — callers slice what they pass.
     """
-    for i in range(N_DIGITS):
-        m = (cols[i] * U32(_N0)) & DIGIT_MASK
-        for j in range(N_DIGITS):
-            pj = _P_DIGITS[j]
-            if pj == 0:
-                continue
-            q = m if pj == 1 else m * U32(pj)
-            lo = q & DIGIT_MASK
-            hi = q >> DIGIT_BITS
-            if pj == 1:
-                cols[i + j] = cols[i + j] + q
-            else:
-                cols[i + j] = cols[i + j] + lo
-                cols[i + j + 1] = cols[i + j + 1] + hi
-        # cols[i] is now ≡ 0 mod 2^16; carry it into the next column.
-        cols[i + 1] = cols[i + 1] + (cols[i] >> DIGIT_BITS)
-    high = cols[N_DIGITS : 2 * N_DIGITS + 1]
-    digits = limbs.propagate_carries(high, N_DIGITS)
-    # REDC output < 2p: one conditional subtract.
+    out = []
+    carry = None
+    for k in range(len(cols)):
+        s = cols[k] if carry is None else cols[k] + carry
+        out.append(s & DIGIT_MASK)
+        carry = s >> DIGIT_BITS
+    return out[:n_out], (carry if keep_carry else None)
+
+
+def _cond_sub_p(digits: Digits) -> Digits:
     d, borrow = limbs.sub_const_with_borrow(digits, P)
     return limbs.select(borrow == 1, digits, d)
 
 
+def _mont_reduce(colsT: list, batch_rank: int) -> Digits:
+    """SOS Montgomery reduction of 33 lazy product columns -> [0, p)."""
+    # Exact low half (T mod 2^256) feeds the m computation.
+    t_lo, carry = _normalize(colsT[:N_DIGITS], N_DIGITS, keep_carry=True)
+    colsT_hi = list(colsT[N_DIGITS:])
+    colsT_hi[0] = colsT_hi[0] + carry
+
+    T_lo = jnp.stack(t_lo)
+    n0 = _const_planes(_N0_DIGITS, batch_rank)
+    m_cols = _mul_columns(T_lo, n0, N_DIGITS)
+    m_dig, _ = _normalize(m_cols, N_DIGITS, keep_carry=False)  # m mod 2^256
+
+    M = jnp.stack(m_dig)
+    pc = _const_planes(_P_DIGITS, batch_rank)
+    mp_cols = _mul_columns(M, pc, 2 * N_DIGITS + 1)
+
+    # (T + m*p): low 256 bits vanish; propagate their carries into the top.
+    low = [a + b for a, b in zip(t_lo, mp_cols[:N_DIGITS])]
+    _, carry_low = _normalize(low, 0, keep_carry=True)
+    high = [a + b for a, b in zip(colsT_hi, mp_cols[N_DIGITS:])]
+    high[0] = high[0] + carry_low
+    digits, _ = _normalize(high, N_DIGITS, keep_carry=False)
+    return _cond_sub_p(digits)
+
+
 def mont_mul(a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]) -> Digits:
     """Montgomery product: (a*b*R^-1) mod p, inputs/outputs in [0, p)."""
-    cols: list = [None] * (2 * N_DIGITS + 1)
-    _accumulate_product(cols, a, b)
-    zeros = jnp.zeros_like(a[0])
-    cols = [zeros if c is None else c for c in cols]
-    return _redc_in_place(cols)
+    A = jnp.stack(list(a))
+    B = jnp.stack(list(b))
+    colsT = _mul_columns(A, B, 2 * N_DIGITS + 1)
+    return _mont_reduce(colsT, A.ndim - 1)
 
 
 def mont_sqr(a: Sequence[jnp.ndarray]) -> Digits:
-    """Montgomery square; exploits product symmetry (~45% fewer multiplies)."""
-    cols: list = [None] * (2 * N_DIGITS + 1)
-
-    def acc(k: int, v: jnp.ndarray) -> None:
-        cols[k] = v if cols[k] is None else cols[k] + v
-
-    for i in range(N_DIGITS):
-        prod = a[i] * a[i]
-        acc(2 * i, prod & DIGIT_MASK)
-        acc(2 * i + 1, prod >> DIGIT_BITS)
-        for j in range(i + 1, N_DIGITS):
-            prod = a[i] * a[j]
-            lo = (prod & DIGIT_MASK) << 1  # < 2^17: still lazy-safe
-            hi = (prod >> DIGIT_BITS) << 1
-            acc(i + j, lo)
-            acc(i + j + 1, hi)
-    zeros = jnp.zeros_like(a[0])
-    cols[:] = [zeros if c is None else c for c in cols]
-    return _redc_in_place(cols)
+    """Montgomery square (the tensorized product makes symmetry moot)."""
+    return mont_mul(a, a)
 
 
 def mont_mul_const(a: Sequence[jnp.ndarray], c: int) -> Digits:
-    """Montgomery product with a python-int constant: (a*c*R^-1) mod p.
-
-    The constant's digits fold at trace time (zero digits skipped, unit
-    digits become adds) — the jnp analog of the reference's msm-macro
-    compile-time monomorphization. To multiply a Montgomery value by a
-    plain constant k, pass c = k*R mod p (so the R^-1 cancels).
-    """
-    cd = limbs.int_digits(c % P)
-    cols: list = [None] * (2 * N_DIGITS + 1)
-
-    def acc(k: int, v: jnp.ndarray) -> None:
-        cols[k] = v if cols[k] is None else cols[k] + v
-
-    for i in range(N_DIGITS):
-        ai = a[i]
-        for j in range(N_DIGITS):
-            if cd[j] == 0:
-                continue
-            if cd[j] == 1:
-                acc(i + j, ai)
-                continue
-            prod = ai * U32(cd[j])
-            acc(i + j, prod & DIGIT_MASK)
-            acc(i + j + 1, prod >> DIGIT_BITS)
-    zeros = jnp.zeros_like(a[0])
-    cols = [zeros if col is None else col for col in cols]
-    return _redc_in_place(cols)
+    """Montgomery product with a python-int constant: (a*c*R^-1) mod p."""
+    A = jnp.stack(list(a))
+    cc = _const_planes(limbs.int_digits(c % P), A.ndim - 1)
+    colsT = _mul_columns(A, cc, 2 * N_DIGITS + 1)
+    return _mont_reduce(colsT, A.ndim - 1)
 
 
 def mul_plain_const(a: Sequence[jnp.ndarray], k: int) -> Digits:
@@ -174,8 +171,6 @@ def mul_plain_const(a: Sequence[jnp.ndarray], k: int) -> Digits:
     (a*R) * (k*R) * R^-1 = a*k*R — stays in domain. Used for the curve
     constant d = 3021 (curve.wgsl:49).
     """
-    from ..oracle.field import R
-
     return mont_mul_const(a, (k * R) % P)
 
 

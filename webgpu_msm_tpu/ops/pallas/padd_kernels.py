@@ -1,0 +1,193 @@
+"""Pallas TPU kernels for batched twisted Edwards point operations.
+
+The device ISA layer of the TPU build — replacing the reference's WGSL
+entry_padd_idx.wgsl (one PADD per GPU thread driven by host-computed index
+triples) with VMEM-resident vector kernels:
+
+- `padd(a, b)`          unified add over point batches
+- `padd_masked(a,b,m)`  lane-masked add (`m ? a+b : a`) — the building block
+                        of the log-depth segmented/suffix scans
+- `scan_step(...)`      one step of the bucket-accumulation running scan:
+                        mixed add + run-boundary select + flush emit, fused
+
+Point batches are stacked uint32 arrays [4, 16, W] (coords x Montgomery
+digits x width); kernels view width as [W/128, 128] 2D tiles so every digit
+op fills full 8x128 VPU tiles. Width must be a multiple of 1024.
+
+On non-TPU backends the kernels run in Pallas interpret mode — the "fake
+device" tier the reference never had (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import field_kernels as fk
+
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES  # minimum width granularity
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _unified_add(p1c, p2c):
+    """add-2008-hwcd (a=-1) on digit-list coordinate tuples (curve.wgsl:36-63)."""
+    x1, y1, t1, z1 = p1c
+    x2, y2, t2, z2 = p2c
+    a = fk.kmont_mul(x1, x2)
+    b = fk.kmont_mul(y1, y2)
+    tt = fk.kmont_mul(t1, t2)
+    c = fk.kmul_d(tt)
+    d = fk.kmont_mul(z1, z2) if z2 is not None else z1
+    e = fk.ksub(fk.kmont_mul(fk.kadd(x1, y1), fk.kadd(x2, y2)), fk.kadd(a, b))
+    f = fk.ksub(d, c)
+    g = fk.kadd(d, c)
+    h = fk.kadd(b, a)
+    return (
+        fk.kmont_mul(e, f),
+        fk.kmont_mul(g, h),
+        fk.kmont_mul(e, h),
+        fk.kmont_mul(f, g),
+    )
+
+
+def _coords(ref_val, n_coords=4):
+    """[n_coords, 16, R, C] array -> tuple of digit lists."""
+    return tuple(
+        [ref_val[c, d] for d in range(16)] for c in range(n_coords)
+    )
+
+
+def _stack_coords(coords):
+    return jnp.stack([jnp.stack(cd) for cd in coords])
+
+
+def _padd_kernel(a_ref, b_ref, o_ref):
+    pa = _coords(a_ref[...])
+    pb = _coords(b_ref[...])
+    o_ref[...] = _stack_coords(_unified_add(pa, pb))
+
+
+def _padd_masked_kernel(a_ref, b_ref, m_ref, o_ref):
+    pa = _coords(a_ref[...])
+    pb = _coords(b_ref[...])
+    mask = m_ref[...] != 0
+    summed = _unified_add(pa, pb)
+    out = tuple(fk.kselect(mask, s, a) for s, a in zip(summed, pa))
+    o_ref[...] = _stack_coords(out)
+
+
+def _scan_step_kernel(acc_ref, accid_ref, pts_ref, ids_ref, nacc_ref, nid_ref, staged_ref):
+    acc = _coords(acc_ref[...])
+    acc_id = accid_ref[...]
+    ids = ids_ref[...]
+    p = pts_ref[...]
+    px = [p[0, d] for d in range(16)]
+    py = [p[1, d] for d in range(16)]
+    pt = [p[2, d] for d in range(16)]
+    one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
+
+    same = ids == acc_id
+    added = _unified_add(acc, (px, py, pt, None))
+    fresh = (px, py, pt, one)
+    new_acc = tuple(fk.kselect(same, s, f) for s, f in zip(added, fresh))
+
+    staged_ref[...] = acc_ref[...]  # pre-update acc = flush candidate
+    nacc_ref[...] = _stack_coords(new_acc)
+    nid_ref[...] = ids
+
+
+def _width_grid(W: int):
+    assert W % TILE == 0, f"width {W} must be a multiple of {TILE}"
+    rows = W // LANES
+    grid = rows // SUBLANES
+    return rows, grid
+
+
+def _pts_spec(n_coords):
+    return pl.BlockSpec(
+        (n_coords, 16, SUBLANES, LANES),
+        lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _mask_spec():
+    return pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _reshape_pts(arr, rows):
+    return arr.reshape(arr.shape[:-1] + (rows, LANES))
+
+
+def padd(a_st: jnp.ndarray, b_st: jnp.ndarray) -> jnp.ndarray:
+    """Unified add over stacked [4, 16, W] point batches."""
+    W = a_st.shape[-1]
+    rows, grid = _width_grid(W)
+    a4 = _reshape_pts(a_st, rows)
+    b4 = _reshape_pts(b_st, rows)
+    out = pl.pallas_call(
+        _padd_kernel,
+        out_shape=jax.ShapeDtypeStruct(a4.shape, jnp.uint32),
+        grid=(grid,),
+        in_specs=[_pts_spec(4), _pts_spec(4)],
+        out_specs=_pts_spec(4),
+        interpret=_interpret(),
+    )(a4, b4)
+    return out.reshape(a_st.shape)
+
+
+def padd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """mask ? a+b : a over stacked [4, 16, W] batches; mask is [W] uint32."""
+    W = a_st.shape[-1]
+    rows, grid = _width_grid(W)
+    out = pl.pallas_call(
+        _padd_masked_kernel,
+        out_shape=jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+        grid=(grid,),
+        in_specs=[_pts_spec(4), _pts_spec(4), _mask_spec()],
+        out_specs=_pts_spec(4),
+        interpret=_interpret(),
+    )(_reshape_pts(a_st, rows), _reshape_pts(b_st, rows), mask.reshape(rows, LANES))
+    return out.reshape(a_st.shape)
+
+
+def scan_step(acc_st, acc_id, pts_st, ids):
+    """One accumulation-scan step over width W.
+
+    acc_st [4,16,W], acc_id [W] uint32, pts_st [3,16,W], ids [W] ->
+    (new_acc [4,16,W], new_id [W], staged [4,16,W]).
+    """
+    W = acc_st.shape[-1]
+    rows, grid = _width_grid(W)
+    nacc, nid, staged = pl.pallas_call(
+        _scan_step_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+        ),
+        grid=(grid,),
+        in_specs=[_pts_spec(4), _mask_spec(), _pts_spec(3), _mask_spec()],
+        out_specs=(_pts_spec(4), _mask_spec(), _pts_spec(4)),
+        interpret=_interpret(),
+    )(
+        _reshape_pts(acc_st, rows),
+        acc_id.reshape(rows, LANES),
+        _reshape_pts(pts_st, rows),
+        ids.reshape(rows, LANES),
+    )
+    return (
+        nacc.reshape(acc_st.shape),
+        nid.reshape(W),
+        staged.reshape(acc_st.shape),
+    )

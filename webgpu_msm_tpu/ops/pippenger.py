@@ -1,0 +1,229 @@
+"""Single-chip Pippenger MSM pipeline (jnp/lax over digit planes).
+
+TPU-native re-design of the reference's intra/inter-bucket reduction
+(`src/submission/gpu.ts:36-284`, `entry_padd_idx.wgsl`, `msm-wasm/lib.rs`):
+instead of host-scheduled index triples driving one PADD kernel per log-round
+(gpu.ts:181-243 — a host-in-the-loop pattern TPUs would hate), bucket
+accumulation is a *sorted segmented reduction* with fully static shapes:
+
+1. **Window split** (windows.py) -> digit matrix [K, n].
+2. **Sort per window**: argsort each window's digits so each bucket's points
+   are contiguous (the device-friendly equivalent of idxByBucket grouping,
+   gpu.ts:173-179).
+3. **Chunked serial scan**: the sorted stream is reshaped to [C lanes, L
+   steps]; one `lax.scan` of L steps runs C*K lanes of a running
+   accumulator in parallel (each step = one batched mixed PADD). When a
+   lane's bucket id changes, the finished run's partial sum is *flushed* to
+   a staging slot at a position derivable from bucket boundaries alone.
+4. **Cross-lane combine**: runs spanning lane boundaries leave their partials
+   in the per-lane final carries, whose ids are non-decreasing across lanes;
+   a log-depth segmented Hillis-Steele scan (fori_loop over levels) sums
+   them. Every bucket's total is then two gathers + one PADD — no scatter,
+   no host round-trips, no data-dependent shapes.
+5. **Bucket reduction**: sum_b b*S_b via the suffix-sum identity
+   (entry_inter_bucket.wgsl:3-12 derived the same log-depth idea): one
+   log-depth suffix scan + one log-depth total sum, both fori_loops.
+6. **Window combine** on host (w doublings + add per window — ~260 tiny
+   sequential group ops, host bigint math; reduce_last, lib.rs:88-104).
+
+Everything through step 5 is one jit-compiled function per (n, w, C, L)
+shape; graph size is kept small by routing all repeated structure through
+lax.scan / lax.fori_loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..oracle.field import R_MOD_P
+from . import curve_ops, field_ops, limbs, windows
+from .curve_ops import PointVec
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+class AffVec(NamedTuple):
+    """Batch of input points in extended affine form (z == 1 implicit)."""
+
+    x: list
+    y: list
+    t: list
+
+    def stacked(self) -> jnp.ndarray:
+        return jnp.stack([limbs.stack(self.x), limbs.stack(self.y), limbs.stack(self.t)])
+
+    @staticmethod
+    def from_stacked(arr) -> "AffVec":
+        return AffVec(limbs.unstack(arr[0]), limbs.unstack(arr[1]), limbs.unstack(arr[2]))
+
+
+def _take_planes(planes: list, idx: jnp.ndarray) -> list:
+    """Gather along the last (point) axis of every digit plane."""
+    return [jnp.take(p, idx, axis=0) for p in planes]
+
+
+def _roll_pts(stacked: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jnp.roll(stacked, shift, axis=axis)
+
+
+def accumulate_and_reduce(
+    points: jnp.ndarray,  # [3, 16, n] uint32: x, y, t digit planes (Montgomery)
+    scalar_words: jnp.ndarray,  # [8, n] uint32 LE words
+    *,
+    window_size: int,
+    n_chunks: int,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Full on-device pipeline -> window sums [4, 16, K] (Montgomery).
+
+    n must equal n_chunks * chunk_len (callers pad with identity points and
+    zero scalars).
+    """
+    w = window_size
+    K = windows.n_windows(w)
+    B = 1 << w
+    C, L = n_chunks, chunk_len
+    n = points.shape[-1]
+    assert n == C * L, (n, C, L)
+
+    digits = windows.split_windows(scalar_words, w)  # [K, n]
+
+    # ---- sort each window's digits; gather points into sorted order ----
+    perm = jnp.argsort(digits, axis=1)  # [K, n]
+    sorted_digits = jnp.take_along_axis(digits, perm, axis=1)  # [K, n]
+
+    # xs layout: step-major [L, K, C]; lane (k, c) scans positions c*L + j.
+    perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))  # [L, K, C]
+    ids_lkc = jnp.transpose(sorted_digits.reshape(K, C, L), (2, 0, 1))
+
+    # Gather sorted points once: [3, 16, L, K, C].
+    sorted_pts = jnp.take(points, perm_lkc.reshape(-1), axis=-1).reshape(
+        3, 16, L, K, C
+    )
+    xs_pts = jnp.transpose(sorted_pts, (2, 0, 1, 3, 4))  # [L, 3, 16, K, C]
+
+    zero = jnp.zeros((K, C), dtype=jnp.uint32)
+    one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
+    id_pt = curve_ops.identity((K, C))
+
+    def scan_body(carry, xs):
+        acc_st, acc_id = carry  # [4, 16, K, C], [K, C]
+        pts_j, ids_j = xs  # [3, 16, K, C], [K, C]
+        acc = PointVec.from_stacked(acc_st)
+        px = limbs.unstack(pts_j[0])
+        py = limbs.unstack(pts_j[1])
+        pt = limbs.unstack(pts_j[2])
+        same = ids_j == acc_id
+        added = curve_ops.add_mixed(acc, px, py, pt)
+        fresh = PointVec(px, py, pt, one_mont)
+        new_acc = curve_ops.select(same, added, fresh)
+        # Emit the pre-update acc: where a new run starts at step j, this is
+        # the completed run ending at position j-1 (the "flush").
+        new_carry = (new_acc.stacked(), ids_j)
+        return new_carry, acc_st
+
+    init = (id_pt.stacked(), jnp.full((K, C), SENTINEL, dtype=jnp.uint32))
+    (final_acc_st, final_id), staged_st = lax.scan(
+        scan_body, init, (xs_pts, ids_lkc)
+    )
+    # staged_st: [L, 4, 16, K, C];
+    # final carries: [4, 16, K, C] with ids final_id == last id per lane.
+
+    # ---- segmented inclusive scan over lanes (combine cross-lane runs) ----
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)
+
+    def seg_level(i, carry_st):
+        d = jnp.int32(1) << i
+        shifted = _roll_pts(carry_st, d, axis=-1)
+        shifted_id = jnp.roll(final_id, d, axis=-1)
+        ok = (lane_idx >= d) & (shifted_id == final_id)
+        cur = PointVec.from_stacked(carry_st)
+        sh = PointVec.from_stacked(shifted)
+        summed = curve_ops.add(cur, sh)
+        return curve_ops.select(ok, summed, cur).stacked()
+
+    n_lev_c = max((C - 1).bit_length(), 1)
+    carries_scanned = lax.fori_loop(0, n_lev_c, seg_level, final_acc_st)
+    # [4, 16, K, C]; at the last lane of each equal-id segment: segment total.
+
+    # ---- per-bucket combine via analytic positions ----
+    bvals = jnp.arange(B, dtype=jnp.uint32)
+    s_pos = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(
+        sorted_digits
+    ).astype(jnp.int32)  # [K, B]
+    e_pos = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(
+        sorted_digits
+    ).astype(jnp.int32)
+
+    c0 = s_pos // L
+    c_last = e_pos // L - 1
+    carry_valid = c_last >= c0
+    e_mod = e_pos % L
+    staged_valid = (e_pos > s_pos) & (e_mod != 0)
+    c1 = jnp.clip(e_pos // L, 0, C - 1)
+    j_staged = jnp.clip(e_mod, 0, L - 1)
+    c_last_c = jnp.clip(c_last, 0, C - 1)
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)
+
+    # Flat gathers along a single trailing axis (explicit and layout-friendly).
+    staged_flat = jnp.transpose(staged_st, (1, 2, 0, 3, 4)).reshape(4, 16, L * K * C)
+    staged_idx = (j_staged * (K * C) + k_idx * C + c1).reshape(-1)
+    staged_pts = jnp.take(staged_flat, staged_idx, axis=-1).reshape(4, 16, K, B)
+    carry_flat = carries_scanned.reshape(4, 16, K * C)
+    carry_idx = (k_idx * C + c_last_c).reshape(-1)
+    carry_pts = jnp.take(carry_flat, carry_idx, axis=-1).reshape(4, 16, K, B)
+
+    id_kb = curve_ops.identity((K, B)).stacked()
+    a_st = jnp.where(staged_valid[None, None], staged_pts, id_kb)
+    b_st = jnp.where(carry_valid[None, None], carry_pts, id_kb)
+    bucket_sums = curve_ops.add(
+        PointVec.from_stacked(a_st), PointVec.from_stacked(b_st)
+    ).stacked()  # [4, 16, K, B]
+
+    # ---- bucket reduction: W_k = sum_b b * S_b via suffix sums ----
+    bucket_idx = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
+
+    def suffix_level(i, st):
+        d = jnp.int32(1) << i
+        shifted = _roll_pts(st, -d, axis=-1)
+        ok = bucket_idx + d < B
+        cur = PointVec.from_stacked(st)
+        sh = PointVec.from_stacked(shifted)
+        summed = curve_ops.add(cur, sh)
+        return curve_ops.select(ok, summed, cur).stacked()
+
+    n_lev_b = max((B - 1).bit_length(), 1)
+    suffixes = lax.fori_loop(0, n_lev_b, suffix_level, bucket_sums)
+    # suffixes[..., b] = sum_{b' >= b} S_b'. Zero out lane 0 (S_0 weight 0).
+    suffixes = jnp.where((bucket_idx == 0)[None, None], id_kb, suffixes)
+
+    def total_level(i, st):
+        d = jnp.int32(1) << i
+        shifted = _roll_pts(st, d, axis=-1)
+        ok = bucket_idx >= d
+        cur = PointVec.from_stacked(st)
+        sh = PointVec.from_stacked(shifted)
+        summed = curve_ops.add(cur, sh)
+        return curve_ops.select(ok, summed, cur).stacked()
+
+    totals = lax.fori_loop(0, n_lev_b, total_level, suffixes)
+    window_sums = totals[..., B - 1]  # [4, 16, K]
+    return window_sums
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_size", "n_chunks", "chunk_len")
+)
+def msm_window_sums(points, scalar_words, *, window_size, n_chunks, chunk_len):
+    return accumulate_and_reduce(
+        points,
+        scalar_words,
+        window_size=window_size,
+        n_chunks=n_chunks,
+        chunk_len=chunk_len,
+    )

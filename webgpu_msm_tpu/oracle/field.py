@@ -30,6 +30,8 @@ R_INV_MOD_P = pow(R % P, P - 2, P)
 # -p^{-1} mod 2^32 / 2^16 (per-digit Montgomery constants).
 N0_INV_32 = (-pow(P, -1, 1 << 32)) % (1 << 32)
 N0_INV_16 = (-pow(P, -1, 1 << 16)) % (1 << 16)
+# -p^{-1} mod 2^256 (full-width Montgomery constant for SOS-form REDC).
+N0_INV_256 = (-pow(P, -1, 1 << 256)) % (1 << 256)
 
 
 def fadd(a: int, b: int) -> int:
