@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark driver: BLS12-377-embedded-curve MSM throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric (BASELINE.json) is MSM throughput (points/sec/chip) at
+2^20 points, bit-exact, with `vs_baseline` = speedup over the single-thread
+CPU reference (the pure-Python oracle — the analog of the reference repo's
+`cpuWorkRatio=1` arkworks path, SURVEY.md §3.3). The baseline measurement is
+cached in `.bench_baseline.json` (measured once on this machine; delete the
+file to re-measure).
+
+Input distribution mirrors the reference's random-input benchmark mode
+(`src/ui/AllBenchmarks.tsx:107-143`): a fixed base point repeated n times
+with uniformly random scalars — which also makes the expected result exact
+and cheap: sum_i(s_i) * B.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+
+
+def build_inputs(n: int, seed: int = 2024):
+    """Repeated base point + random 253-bit scalars, pre-marshalled.
+
+    Returns (points_planes [3,16,n] u32 plain-domain, scalar_words [8,n] u32
+    LE, expected_affine (x, y)).
+    """
+    from webgpu_msm_tpu.oracle import curve, field
+    from webgpu_msm_tpu.oracle.testdata import base_point
+
+    rng = np.random.default_rng(seed)
+    words = rng.integers(0, 1 << 32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    words[7] &= 0x1FFFFFFF  # < 2^253
+
+    # Expected: (sum of scalars) * B, with the sum computed columnwise.
+    total = 0
+    for w in range(8):
+        total += int(words[w].astype(np.uint64).sum()) << (32 * w)
+    b = base_point()
+    expected = curve.to_affine(curve.scalar_mul(b, total))
+
+    # Marshal the single base point, then broadcast (z == 1, t == x*y).
+    coords = [b.x % field.P, b.y % field.P, b.t % field.P]
+    planes = np.empty((3, 16, n), dtype=np.uint32)
+    for c, v in enumerate(coords):
+        for d in range(16):
+            planes[c, d] = (v >> (16 * d)) & 0xFFFF
+    return planes, words, expected
+
+
+def measure_device(n_pow: int, iters: int, window: int | None):
+    import jax
+    import jax.numpy as jnp
+
+    from webgpu_msm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.engines import tpu_engine
+    from webgpu_msm_tpu.oracle.msm import combine_windows
+
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    w = cfg.resolved_window_size(n)
+    C, L = cfg.resolved_chunking(n)
+    assert C * L == n, (C, L, n)
+
+    planes, words, expected = build_inputs(n)
+    pts = jax.device_put(jnp.asarray(planes))
+    sc = jax.device_put(jnp.asarray(words))
+
+    t0 = time.perf_counter()
+    out = tpu_engine._device_msm(
+        pts, sc, window_size=w, n_chunks=C, chunk_len=L
+    )
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = tpu_engine._device_msm(
+            pts, sc, window_size=w, n_chunks=C, chunk_len=L
+        )
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    wsums = tpu_engine.window_sums_to_points(np.asarray(out))
+    from webgpu_msm_tpu.oracle import curve
+
+    got = curve.to_affine(combine_windows(wsums, w))
+    bit_exact = got == expected
+
+    dev_s = float(np.median(times))
+    return {
+        "n": n,
+        "window": w,
+        "chunks": [C, L],
+        "device_s": dev_s,
+        "device_s_all": times,
+        "compile_s": compile_s,
+        "points_per_s": n / dev_s,
+        "bit_exact": bool(bit_exact),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
+    """Single-thread CPU reference: the pure-Python serial Pippenger oracle."""
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.oracle import curve, msm as omsm
+    from webgpu_msm_tpu.oracle.testdata import base_point
+
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    w = cfg.resolved_window_size(n)
+    planes, words, expected = build_inputs(n)
+    scalars = []
+    for i in range(n):
+        v = 0
+        for wd in range(8):
+            v |= int(words[wd, i]) << (32 * wd)
+        scalars.append(v)
+    b = base_point()
+    pts = [b] * n
+    t0 = time.perf_counter()
+    res = omsm.msm(pts, scalars, window_size=w)
+    took = time.perf_counter() - t0
+    got = curve.to_affine(res)
+    return {
+        "n": n,
+        "window": w,
+        "cpu_s": took,
+        "points_per_s": n / took,
+        "bit_exact": bool(got == expected),
+    }
+
+
+def get_baseline(n_pow: int, window: int | None) -> dict:
+    if BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("n") == (1 << n_pow):
+            return cached
+    base = measure_cpu_baseline(n_pow, window)
+    BASELINE_CACHE.write_text(json.dumps(base))
+    return base
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pow", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    dev = measure_device(args.n_pow, args.iters, args.window)
+
+    vs = None
+    if not args.skip_baseline:
+        base = get_baseline(args.n_pow, args.window)
+        vs = dev["points_per_s"] / base["points_per_s"]
+
+    line = {
+        "metric": f"msm_2^{args.n_pow}_throughput",
+        "value": round(dev["points_per_s"], 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }
+    detail = {**dev}
+    detail.pop("device_s_all", None)
+    print(json.dumps(line))
+    print(json.dumps({"detail": detail}), file=sys.stderr)
+    if not dev["bit_exact"]:
+        print("ERROR: result not bit-exact", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Multi-chip sharded MSM on an 8-virtual-device CPU mesh (conftest.py).
+
+The distributed test tier the reference never had (SURVEY.md §4): points
+sharded over a mesh, partial bucket/window sums combined with group-law tree
+adds after an all_gather, bit-exact vs the host oracle.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webgpu_msm_tpu.engines.tpu_engine import (
+    marshal_points,
+    marshal_scalars,
+    window_sums_to_points,
+)
+from webgpu_msm_tpu.oracle import curve, msm as omsm
+from webgpu_msm_tpu.oracle.msm import combine_windows
+from webgpu_msm_tpu.ops import field_ops, limbs
+from webgpu_msm_tpu.parallel import default_mesh, msm_window_sums_sharded
+from webgpu_msm_tpu.utils import fixtures
+
+
+def _to_mont_stacked(planes):
+    arr = jnp.asarray(planes)
+    return jnp.stack(
+        [limbs.stack(field_ops.to_mont(limbs.unstack(arr[i]))) for i in range(3)]
+    )
+
+
+def _decode(wsums, w):
+    out = jnp.stack(
+        [limbs.stack(field_ops.from_mont(limbs.unstack(wsums[i]))) for i in range(4)]
+    )
+    return curve.to_affine(combine_windows(window_sums_to_points(np.asarray(out)), w))
+
+
+@pytest.mark.parametrize("mode", ["window_sums", "buckets"])
+def test_sharded_msm_matches_oracle(mode):
+    D = len(jax.devices())
+    assert D == 8, "conftest should provide 8 virtual devices"
+    W, C, L = 8, 8, 8
+    n = D * C * L  # 512
+    pts = fixtures.distinct_points(n, seed=5)
+    scalars = fixtures.random_scalars(n, seed=6)
+
+    planes = marshal_points(pts, n)
+    words = marshal_scalars(scalars, n)
+    mesh = default_mesh(D)
+    wsums = msm_window_sums_sharded(
+        _to_mont_stacked(planes),
+        jnp.asarray(words),
+        window_size=W,
+        n_chunks=C,
+        chunk_len=L,
+        mesh=mesh,
+        mode=mode,
+    )
+    got = _decode(wsums, W)
+    want = curve.to_affine(omsm.msm(pts, scalars, window_size=W))
+    assert got == want
+
+
+def test_tree_add_points_matches_oracle():
+    from webgpu_msm_tpu.parallel import tree_add_points
+    from webgpu_msm_tpu.ops.curve_ops import PointVec, to_mont, from_mont
+
+    pts = fixtures.distinct_points(5, seed=9)
+    planes = marshal_points(pts, 5)  # [3, 16, 5] plain
+    arr = jnp.asarray(planes)
+    x = field_ops.to_mont(limbs.unstack(arr[0]))
+    y = field_ops.to_mont(limbs.unstack(arr[1]))
+    t = field_ops.to_mont(limbs.unstack(arr[2]))
+    z = limbs.digits_of_int(1, (5,))
+    z = field_ops.to_mont(z)
+    stacked = PointVec(x, y, t, z).stacked()  # [4, 16, 5]
+    # treat the point axis as the "device" axis: [5, 4, 16]
+    per_dev = jnp.transpose(stacked, (2, 0, 1))
+    summed = tree_add_points(per_dev)  # [4, 16]
+    out = jnp.stack(
+        [
+            limbs.stack(field_ops.from_mont(limbs.unstack(summed[i])))
+            for i in range(4)
+        ]
+    )[..., None]
+    got_pt = window_sums_to_points(np.asarray(out))[0]
+    want = curve.IDENTITY
+    for p in pts:
+        want = curve.add(want, p)
+    assert curve.to_affine(got_pt) == curve.to_affine(want)

@@ -70,7 +70,7 @@ def _roll_pts(stacked: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarra
     return jnp.roll(stacked, shift, axis=axis)
 
 
-def accumulate_and_reduce(
+def accumulate_buckets(
     points: jnp.ndarray,  # [3, 16, n] uint32: x, y, t digit planes (Montgomery)
     scalar_words: jnp.ndarray,  # [8, n] uint32 LE words
     *,
@@ -78,10 +78,12 @@ def accumulate_and_reduce(
     n_chunks: int,
     chunk_len: int,
 ) -> jnp.ndarray:
-    """Full on-device pipeline -> window sums [4, 16, K] (Montgomery).
+    """Steps 1-4 of the pipeline -> bucket sums [4, 16, K, B] (Montgomery).
 
     n must equal n_chunks * chunk_len (callers pad with identity points and
-    zero scalars).
+    zero scalars). Exposed separately so the multi-chip layer can all-reduce
+    raw bucket arrays (the reference's `inter_bucket_reduce` input, SURVEY.md
+    §5.8 "all-reduce bucket arrays" mode) before the running-sum reduction.
     """
     w = window_size
     K = windows.n_windows(w)
@@ -184,8 +186,17 @@ def accumulate_and_reduce(
     bucket_sums = curve_ops.add(
         PointVec.from_stacked(a_st), PointVec.from_stacked(b_st)
     ).stacked()  # [4, 16, K, B]
+    return bucket_sums
 
-    # ---- bucket reduction: W_k = sum_b b * S_b via suffix sums ----
+
+def reduce_buckets(bucket_sums: jnp.ndarray) -> jnp.ndarray:
+    """Step 5: bucket reduction W_k = sum_b b * S_b -> window sums [4, 16, K].
+
+    Log-depth suffix scan + log-depth total sum (the identity the reference
+    derived in entry_inter_bucket.wgsl:3-12 but ran on CPU; on TPU the
+    log-depth scan is the right call, SURVEY.md §7)."""
+    K, B = bucket_sums.shape[-2], bucket_sums.shape[-1]
+    id_kb = curve_ops.identity((K, B)).stacked()
     bucket_idx = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
 
     def suffix_level(i, st):
@@ -214,6 +225,25 @@ def accumulate_and_reduce(
     totals = lax.fori_loop(0, n_lev_b, total_level, suffixes)
     window_sums = totals[..., B - 1]  # [4, 16, K]
     return window_sums
+
+
+def accumulate_and_reduce(
+    points: jnp.ndarray,
+    scalar_words: jnp.ndarray,
+    *,
+    window_size: int,
+    n_chunks: int,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Full on-device pipeline -> window sums [4, 16, K] (Montgomery)."""
+    bucket_sums = accumulate_buckets(
+        points,
+        scalar_words,
+        window_size=window_size,
+        n_chunks=n_chunks,
+        chunk_len=chunk_len,
+    )
+    return reduce_buckets(bucket_sums)
 
 
 @functools.partial(

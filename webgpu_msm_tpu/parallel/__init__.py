@@ -1,0 +1,6 @@
+from .msm_sharded import (  # noqa: F401
+    AXIS,
+    default_mesh,
+    msm_window_sums_sharded,
+    tree_add_points,
+)
