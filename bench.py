@@ -76,18 +76,31 @@ def measure_device(n_pow: int, iters: int, window: int | None):
     cfg = MSMConfig(window_size=window)
     w = cfg.resolved_window_size(n)
     C, L = cfg.resolved_chunking(n)
-    assert C * L == n, (C, L, n)
+    assert n % (C * L) == 0, (C, L, n)
 
     planes, words, expected = build_inputs(n)
     pts = jax.device_put(jnp.asarray(planes))
     sc = jax.device_put(jnp.asarray(words))
 
+    # NB: on the tunneled TPU platform block_until_ready() can return before
+    # the device finishes; a host fetch of the (tiny, [4,16,K]) output is the
+    # reliable fence. Measure the fetch/latency floor and subtract it.
     t0 = time.perf_counter()
     out = tpu_engine._device_msm(
         pts, sc, window_size=w, n_chunks=C, chunk_len=L
     )
-    out.block_until_ready()
+    np.asarray(out)
     compile_s = time.perf_counter() - t0
+
+    trivial = jax.jit(lambda x: x + 1)
+    small = jnp.zeros((4, 16, 8), jnp.uint32)
+    np.asarray(trivial(small))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(trivial(small))
+        lat.append(time.perf_counter() - t0)
+    latency_s = float(np.median(lat))
 
     times = []
     for _ in range(iters):
@@ -95,8 +108,8 @@ def measure_device(n_pow: int, iters: int, window: int | None):
         out = tpu_engine._device_msm(
             pts, sc, window_size=w, n_chunks=C, chunk_len=L
         )
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        np.asarray(out)
+        times.append(max(time.perf_counter() - t0 - latency_s, 1e-9))
 
     wsums = tpu_engine.window_sums_to_points(np.asarray(out))
     from webgpu_msm_tpu.oracle import curve
@@ -111,6 +124,7 @@ def measure_device(n_pow: int, iters: int, window: int | None):
         "chunks": [C, L],
         "device_s": dev_s,
         "device_s_all": times,
+        "sync_latency_s": latency_s,
         "compile_s": compile_s,
         "points_per_s": n / dev_s,
         "bit_exact": bool(bit_exact),

@@ -87,15 +87,30 @@ def compute_msm(
     (pure-Python reference), or "cpu" (native C++ engine, if built).
     """
     config = config or MSMConfig()
+    if engine is None:
+        engine = "tpu"
+
+    # Wire-format (U32Array) fast path: no python-int round trip.
+    if (
+        engine == "tpu"
+        and config.cpu_work_ratio == 0
+        and isinstance(points, np.ndarray)
+        and isinstance(scalars, np.ndarray)
+    ):
+        from .engines import tpu_engine
+
+        try:
+            x, y = tpu_engine.msm_affine_wire(points, scalars, config)
+            return AffinePoint(x, y)
+        except ValueError:
+            pass  # non-affine z: fall through to the generic path
+
     pts = _normalize_points(points)
     sc = _normalize_scalars(scalars)
     if len(pts) != len(sc):
         raise ValueError(f"points/scalars length mismatch: {len(pts)} vs {len(sc)}")
     if not pts:
         return AffinePoint(0, 1)
-
-    if engine is None:
-        engine = "tpu"
 
     if engine == "oracle":
         from .oracle import msm as omsm
@@ -110,8 +125,18 @@ def compute_msm(
         x, y = cpu_engine.msm_affine(pts, sc, config)
         return AffinePoint(x, y)
     if engine == "tpu":
+        if config.cpu_work_ratio > 0:
+            from .engines import hybrid_engine
+
+            x, y = hybrid_engine.msm_affine(pts, sc, config)
+            return AffinePoint(x, y)
         from .engines import tpu_engine
 
         x, y = tpu_engine.msm_affine(pts, sc, config)
+        return AffinePoint(x, y)
+    if engine == "hybrid":
+        from .engines import hybrid_engine
+
+        x, y = hybrid_engine.msm_affine(pts, sc, config)
         return AffinePoint(x, y)
     raise ValueError(f"unknown engine {engine!r}")

@@ -38,8 +38,12 @@ def default_chunking(n_points: int) -> Tuple[int, int]:
     if n_points <= 0:
         raise ValueError("n_points must be positive")
     # Power-of-two sizes for XLA-friendly static shapes, biased toward wide
-    # chunks (more VPU lanes per step, fewer sequential steps).
+    # chunks (more VPU lanes per step, fewer sequential steps). One batch is
+    # capped at 2^18 points; larger inputs stream in batches whose bucket
+    # arrays are added (gpu.ts:78-85 VRAM-model analog: staged flushes are
+    # O(batch * n_windows) points of HBM).
     bits = max(1, math.ceil(math.log2(n_points)))
+    bits = min(bits, 18)
     n_chunks = 1 << min(math.ceil(bits * 0.6), 13)
     n_chunks = min(n_chunks, 1 << bits)
     chunk_len = (1 << bits) // n_chunks

@@ -110,20 +110,26 @@ def msm_window_sums_host(
     points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
 ) -> tuple[list[ExtPoint], int]:
     """Run the device pipeline; return (window_sums LSB-first, window_size)."""
+    from ..utils import trace
+
     n = len(points)
     w = config.resolved_window_size(n)
     C, L = config.resolved_chunking(n)
-    pad_to = C * L
-    pts = marshal_points(points, pad_to)
-    sc = marshal_scalars(scalars, pad_to)
-    out = _device_msm(
-        jnp.asarray(pts),
-        jnp.asarray(sc),
-        window_size=w,
-        n_chunks=C,
-        chunk_len=L,
-    )
-    return window_sums_to_points(np.asarray(out)), w
+    batch = C * L
+    pad_to = -(-n // batch) * batch  # round up to whole batches
+    with trace.phase("convert inputs"):
+        pts = marshal_points(points, pad_to)
+        sc = marshal_scalars(scalars, pad_to)
+    with trace.phase("device msm"):
+        out = _device_msm(
+            jnp.asarray(pts),
+            jnp.asarray(sc),
+            window_size=w,
+            n_chunks=C,
+            chunk_len=L,
+        )
+        out_host = np.asarray(out)
+    return window_sums_to_points(out_host), w
 
 
 def msm_affine(
@@ -131,4 +137,59 @@ def msm_affine(
 ) -> tuple[int, int]:
     wsums, w = msm_window_sums_host(points, scalars, config)
     result = combine_windows(wsums, w)
+    return ocurve.to_affine(result)
+
+
+def _be_words_to_planes(be_rows: np.ndarray) -> np.ndarray:
+    """[n, 8] big-endian u32 rows -> [16, n] LE 16-bit digit planes."""
+    words_le = convert.be_rows_to_words_le(be_rows)  # [8, n]
+    n = words_le.shape[1]
+    planes = np.empty((16, n), dtype=np.uint32)
+    planes[0::2] = words_le & np.uint32(0xFFFF)
+    planes[1::2] = words_le >> np.uint32(16)
+    return planes
+
+
+def msm_affine_wire(
+    points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z
+    scalars_be: np.ndarray,  # [n, 8] u32 BE rows
+    config: MSMConfig,
+) -> tuple[int, int]:
+    """Wire-format (U32Array) fast path: fully vectorized marshalling.
+
+    The reference parallelizes bigint->u32 conversion across 8 workers
+    (submission.ts:50-74, convert_worker.ts); with numpy the whole marshal
+    is a few array ops. Requires z == 1 (extended affine, README.md:66-96);
+    falls back to the generic path otherwise.
+    """
+    from ..utils import trace
+
+    points_be = np.ascontiguousarray(points_be, dtype=np.uint32).reshape(-1, 32)
+    scalars_be = np.ascontiguousarray(scalars_be, dtype=np.uint32).reshape(-1, 8)
+    n = points_be.shape[0]
+    z = points_be[:, 24:32]
+    if not (np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1)):
+        raise ValueError("wire fast path requires z == 1")
+
+    w = config.resolved_window_size(n)
+    C, L = config.resolved_chunking(n)
+    batch = C * L
+    pad_to = -(-n // batch) * batch
+    with trace.phase("convert inputs (wire)"):
+        planes = np.zeros((3, 16, pad_to), dtype=np.uint32)
+        for c, sl in enumerate((slice(0, 8), slice(8, 16), slice(16, 24))):
+            planes[c, :, :n] = _be_words_to_planes(points_be[:, sl])
+        planes[1, 0, n:] = 1  # identity padding (0, 1, 0)
+        sc = np.zeros((8, pad_to), dtype=np.uint32)
+        sc[:, :n] = convert.be_rows_to_words_le(scalars_be)
+    with trace.phase("device msm"):
+        out = _device_msm(
+            jnp.asarray(planes),
+            jnp.asarray(sc),
+            window_size=w,
+            n_chunks=C,
+            chunk_len=L,
+        )
+        out_host = np.asarray(out)
+    result = combine_windows(window_sums_to_points(out_host), w)
     return ocurve.to_affine(result)

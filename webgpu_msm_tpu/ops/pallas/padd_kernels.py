@@ -161,6 +161,119 @@ def padd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp.
     return out.reshape(a_st.shape)
 
 
+def _accumulate_scan_kernel(pts_ref, ids_ref, staged_ref, facc_ref, fid_ref,
+                            acc_ref, accid_ref):
+    """One (width-block, step) cell of the fused accumulation scan.
+
+    Grid = (n_width_blocks, L); the accumulator lives in VMEM scratch and
+    persists across the L inner steps (TPU grid iteration is sequential).
+    The whole bucket-accumulation phase is this single pallas_call: points
+    stream HBM->VMEM via the grid pipeline (the reference's double-buffered
+    staging, gpu.ts:146-155, for free), flushes stream back per step.
+    """
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        # acc = identity (0, R, 0, R), acc_id = sentinel
+        one = fk.digits_const(fk.R_MOD_P, acc_ref.shape[2:])
+        zero = jnp.zeros(acc_ref.shape[2:], dtype=jnp.uint32)
+        for d in range(16):
+            acc_ref[0, d] = zero
+            acc_ref[1, d] = one[d]
+            acc_ref[2, d] = zero
+            acc_ref[3, d] = one[d]
+        accid_ref[...] = jnp.full(accid_ref.shape, 0xFFFFFFFF, dtype=jnp.uint32)
+
+    acc = _coords(acc_ref[...])
+    acc_id = accid_ref[...]
+    ids = ids_ref[...]
+    p = pts_ref[...]
+    px = [p[0, d] for d in range(16)]
+    py = [p[1, d] for d in range(16)]
+    pt = [p[2, d] for d in range(16)]
+    one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
+
+    same = ids == acc_id
+    added = _unified_add(acc, (px, py, pt, None))
+    fresh = (px, py, pt, one)
+    new_acc = tuple(fk.kselect(same, s, f) for s, f in zip(added, fresh))
+
+    staged_ref[...] = acc_ref[...]  # pre-update acc = flush candidate
+    new_st = _stack_coords(new_acc)
+    acc_ref[...] = new_st
+    accid_ref[...] = ids
+
+    @pl.when(l == pl.num_programs(1) - 1)
+    def _():
+        facc_ref[...] = new_st
+        fid_ref[...] = ids
+
+
+def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = SUBLANES):
+    """Fused bucket-accumulation scan.
+
+    xs_pts [L, 3, 16, W] Montgomery digit planes (sorted run order),
+    ids [L, W] bucket ids -> (final_acc [4,16,W], final_id [W],
+    staged [L,4,16,W]) with semantics identical to the lax.scan version in
+    ops/pippenger.py (staged[l] = pre-update accumulator at step l).
+    """
+    L, _, _, W = xs_pts.shape
+    rows = W // LANES
+    assert W % (block_rows * LANES) == 0, (W, block_rows)
+    n_wb = rows // block_rows
+    pts5 = xs_pts.reshape(L, 3, 16, rows, LANES)
+    ids3 = ids.reshape(L, rows, LANES)
+
+    grid = (n_wb, L)
+    staged, facc, fid = pl.pallas_call(
+        _accumulate_scan_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (None, 3, 16, block_rows, LANES),
+                lambda wb, l: (l, 0, 0, wb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, block_rows, LANES),
+                lambda wb, l: (l, wb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((L, 4, 16, rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+        ),
+        out_specs=(
+            pl.BlockSpec(
+                (None, 4, 16, block_rows, LANES),
+                lambda wb, l: (l, 0, 0, wb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, 16, block_rows, LANES),
+                lambda wb, l: (0, 0, wb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows, LANES), lambda wb, l: (wb, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 16, block_rows, LANES), jnp.uint32),
+            pltpu.VMEM((block_rows, LANES), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(pts5, ids3)
+    return (
+        facc.reshape(4, 16, W),
+        fid.reshape(W),
+        staged.reshape(L, 4, 16, W),
+    )
+
+
 def scan_step(acc_st, acc_id, pts_st, ids):
     """One accumulation-scan step over width W.
 

@@ -80,19 +80,54 @@ def accumulate_buckets(
 ) -> jnp.ndarray:
     """Steps 1-4 of the pipeline -> bucket sums [4, 16, K, B] (Montgomery).
 
-    n must equal n_chunks * chunk_len (callers pad with identity points and
-    zero scalars). Exposed separately so the multi-chip layer can all-reduce
-    raw bucket arrays (the reference's `inter_bucket_reduce` input, SURVEY.md
-    §5.8 "all-reduce bucket arrays" mode) before the running-sum reduction.
+    n must be a multiple of n_chunks * chunk_len (callers pad with identity
+    points and zero scalars). When n exceeds one batch (C*L), the point
+    stream is processed in batches under a lax.scan, adding per-batch bucket
+    arrays — the reference's VRAM-bounded batching (gpu.ts:78-85,162) — so
+    peak HBM use is O(batch), not O(n). Exposed separately so the multi-chip
+    layer can all-reduce raw bucket arrays (the reference's
+    `inter_bucket_reduce` input, SURVEY.md §5.8) before the reduction.
     """
     w = window_size
     K = windows.n_windows(w)
     B = 1 << w
     C, L = n_chunks, chunk_len
     n = points.shape[-1]
-    assert n == C * L, (n, C, L)
+    M = C * L
+    assert n % M == 0, (n, C, L)
+    n_batches = n // M
 
     digits = windows.split_windows(scalar_words, w)  # [K, n]
+    if n_batches == 1:
+        return _accumulate_batch(points, digits, w, C, L)
+
+    pts_b = jnp.transpose(points.reshape(3, 16, n_batches, M), (2, 0, 1, 3))
+    dig_b = jnp.transpose(digits.reshape(K, n_batches, M), (1, 0, 2))
+
+    def body(carry_st, xs):
+        pts_i, dig_i = xs
+        bsums = _accumulate_batch(pts_i, dig_i, w, C, L)
+        combined = curve_ops.add(
+            PointVec.from_stacked(carry_st), PointVec.from_stacked(bsums)
+        ).stacked()
+        return combined, None
+
+    init = curve_ops.identity((K, B)).stacked()
+    total, _ = lax.scan(body, init, (pts_b, dig_b))
+    return total
+
+
+def _accumulate_batch(
+    points: jnp.ndarray,  # [3, 16, M]
+    digits: jnp.ndarray,  # [K, M]
+    w: int,
+    C: int,
+    L: int,
+) -> jnp.ndarray:
+    K = windows.n_windows(w)
+    B = 1 << w
+    n = points.shape[-1]
+    assert n == C * L, (n, C, L)
 
     # ---- sort each window's digits; gather points into sorted order ----
     perm = jnp.argsort(digits, axis=1)  # [K, n]
@@ -112,26 +147,40 @@ def accumulate_buckets(
     one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
     id_pt = curve_ops.identity((K, C))
 
-    def scan_body(carry, xs):
-        acc_st, acc_id = carry  # [4, 16, K, C], [K, C]
-        pts_j, ids_j = xs  # [3, 16, K, C], [K, C]
-        acc = PointVec.from_stacked(acc_st)
-        px = limbs.unstack(pts_j[0])
-        py = limbs.unstack(pts_j[1])
-        pt = limbs.unstack(pts_j[2])
-        same = ids_j == acc_id
-        added = curve_ops.add_mixed(acc, px, py, pt)
-        fresh = PointVec(px, py, pt, one_mont)
-        new_acc = curve_ops.select(same, added, fresh)
-        # Emit the pre-update acc: where a new run starts at step j, this is
-        # the completed run ending at position j-1 (the "flush").
-        new_carry = (new_acc.stacked(), ids_j)
-        return new_carry, acc_st
+    W = K * C
+    if jax.default_backend() == "tpu" and W % 1024 == 0:
+        # Fused Pallas scan: the accumulator lives in VMEM scratch across
+        # all L steps; points stream HBM->VMEM via the grid pipeline.
+        from .pallas import padd_kernels
 
-    init = (id_pt.stacked(), jnp.full((K, C), SENTINEL, dtype=jnp.uint32))
-    (final_acc_st, final_id), staged_st = lax.scan(
-        scan_body, init, (xs_pts, ids_lkc)
-    )
+        facc, fid, staged = padd_kernels.accumulate_scan(
+            xs_pts.reshape(L, 3, 16, W), ids_lkc.reshape(L, W)
+        )
+        final_acc_st = facc.reshape(4, 16, K, C)
+        final_id = fid.reshape(K, C)
+        staged_st = staged.reshape(L, 4, 16, K, C)
+    else:
+
+        def scan_body(carry, xs):
+            acc_st, acc_id = carry  # [4, 16, K, C], [K, C]
+            pts_j, ids_j = xs  # [3, 16, K, C], [K, C]
+            acc = PointVec.from_stacked(acc_st)
+            px = limbs.unstack(pts_j[0])
+            py = limbs.unstack(pts_j[1])
+            pt = limbs.unstack(pts_j[2])
+            same = ids_j == acc_id
+            added = curve_ops.add_mixed(acc, px, py, pt)
+            fresh = PointVec(px, py, pt, one_mont)
+            new_acc = curve_ops.select(same, added, fresh)
+            # Emit the pre-update acc: where a new run starts at step j, this
+            # is the completed run ending at position j-1 (the "flush").
+            new_carry = (new_acc.stacked(), ids_j)
+            return new_carry, acc_st
+
+        init = (id_pt.stacked(), jnp.full((K, C), SENTINEL, dtype=jnp.uint32))
+        (final_acc_st, final_id), staged_st = lax.scan(
+            scan_body, init, (xs_pts, ids_lkc)
+        )
     # staged_st: [L, 4, 16, K, C];
     # final carries: [4, 16, K, C] with ids final_id == last id per lane.
 
@@ -189,12 +238,11 @@ def accumulate_buckets(
     return bucket_sums
 
 
-def reduce_buckets(bucket_sums: jnp.ndarray) -> jnp.ndarray:
-    """Step 5: bucket reduction W_k = sum_b b * S_b -> window sums [4, 16, K].
+def _suffix_weighted(bucket_sums: jnp.ndarray) -> jnp.ndarray:
+    """W_k = sum_b b * S_b over the trailing axis via log-depth suffix scans.
 
-    Log-depth suffix scan + log-depth total sum (the identity the reference
-    derived in entry_inter_bucket.wgsl:3-12 but ran on CPU; on TPU the
-    log-depth scan is the right call, SURVEY.md §7)."""
+    Work 2*log2(B)*K*B point adds — used only for the small sub-reduction in
+    `reduce_buckets` (the identity from entry_inter_bucket.wgsl:3-12)."""
     K, B = bucket_sums.shape[-2], bucket_sums.shape[-1]
     id_kb = curve_ops.identity((K, B)).stacked()
     bucket_idx = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
@@ -225,6 +273,78 @@ def reduce_buckets(bucket_sums: jnp.ndarray) -> jnp.ndarray:
     totals = lax.fori_loop(0, n_lev_b, total_level, suffixes)
     window_sums = totals[..., B - 1]  # [4, 16, K]
     return window_sums
+
+
+def _tree_sum_axis(st: jnp.ndarray) -> jnp.ndarray:
+    """Plain group sum over the trailing axis by repeated halving.
+
+    [4, 16, K, G] -> [4, 16, K]; G must be a power of two. Work G-1 adds."""
+    G = st.shape[-1]
+    while G > 1:
+        half = G // 2
+        st = curve_ops.add(
+            PointVec.from_stacked(st[..., :half]),
+            PointVec.from_stacked(st[..., half:]),
+        ).stacked()
+        G = half
+    return st[..., 0]
+
+
+def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
+    """Step 5: bucket reduction W_k = sum_b b * S_b -> window sums [4, 16, K].
+
+    Work-optimal grouped running sum. Split b = g*Gs + r (G groups of Gs):
+
+        W = Gs * sum_g g*T_g  +  sum_g U_g
+        T_g = sum_r S[g, r]          (group totals)
+        U_g = sum_r r * S[g, r]      (within-group running sums)
+
+    The U/T pass is the reference's serial running sum (bucket_sum_cpu,
+    msm-wasm/lib.rs:46-56) run over all K*G group lanes at once: Gs-1
+    sequential steps of two vectorized adds, total work ~2*B*K point adds —
+    a w-fold reduction vs the pure log-depth suffix scan, which survives
+    only for the tiny G-wide sub-reduction (`_suffix_weighted`). The final
+    scale by Gs is log2(Gs) vectorized doublings.
+    """
+    K, B = bucket_sums.shape[-2], bucket_sums.shape[-1]
+    if group_size <= 0:
+        # Balance the Gs-step sequential chain against per-step lane count
+        # K*G; Gs = 32 keeps depth short while G = B/32 lanes fill the VPU.
+        group_size = 32 if B >= 1024 else (16 if B >= 64 else 1)
+    if group_size > 1:
+        assert B % group_size == 0, (B, group_size)
+        G = B // group_size
+    Gs = group_size
+    if Gs == 1:
+        return _suffix_weighted(bucket_sums)
+
+    s = bucket_sums.reshape(4, 16, K, G, Gs)
+    id_kg = curve_ops.identity((K, G)).stacked()
+
+    def body(i, carry):
+        running_st, u_st = carry
+        r = Gs - 1 - i  # r runs Gs-1 .. 1
+        s_r = lax.dynamic_index_in_dim(s, r, axis=4, keepdims=False)
+        run = curve_ops.add(
+            PointVec.from_stacked(running_st), PointVec.from_stacked(s_r)
+        ).stacked()
+        u = curve_ops.add(
+            PointVec.from_stacked(u_st), PointVec.from_stacked(run)
+        ).stacked()
+        return run, u
+
+    running, U = lax.fori_loop(0, Gs - 1, body, (id_kg, id_kg))
+    T = curve_ops.add(
+        PointVec.from_stacked(running), PointVec.from_stacked(s[..., 0])
+    ).stacked()  # [4, 16, K, G]
+
+    V = _suffix_weighted(T)  # sum_g g * T_g, [4, 16, K]
+    for _ in range(Gs.bit_length() - 1):  # * Gs (power of two)
+        V = curve_ops.double(PointVec.from_stacked(V)).stacked()
+    U_tot = _tree_sum_axis(U)
+    return curve_ops.add(
+        PointVec.from_stacked(V), PointVec.from_stacked(U_tot)
+    ).stacked()
 
 
 def accumulate_and_reduce(
