@@ -88,12 +88,19 @@ def main():
         facc, fid, staged = padd_kernels.accumulate_scan(xs_pts, ids)
         return facc, staged
 
+    @jax.jit
+    def fused_mxu(xs_pts, ids):
+        facc, fid, staged = padd_kernels.accumulate_scan(xs_pts, ids, use_mxu=True)
+        return facc, staged
+
     print(f"W={W} L={L} backend={jax.default_backend()}")
     r1 = timeit(scan_jnp, xs_pts, ids, name="jnp scan body")
     r2 = timeit(scan_pallas, xs_pts, ids, name="pallas scan_step")
     r3 = timeit(fused, xs_pts, ids, name="pallas fused scan")
+    r4 = timeit(fused_mxu, xs_pts, ids, name="pallas fused scan MXU")
     print("step same:", bool(jnp.array_equal(r1[0], r2[0]) and jnp.array_equal(r1[1], r2[1])))
     print("fused same:", bool(jnp.array_equal(r1[0], r3[0]) and jnp.array_equal(r1[1], r3[1])))
+    print("mxu same:", bool(jnp.array_equal(r1[0], r4[0]) and jnp.array_equal(r1[1], r4[1])))
 
 
 if __name__ == "__main__":

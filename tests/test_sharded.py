@@ -4,6 +4,8 @@ The distributed test tier the reference never had (SURVEY.md §4): points
 sharded over a mesh, partial bucket/window sums combined with group-law tree
 adds after an all_gather, bit-exact vs the host oracle.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -36,7 +38,12 @@ def _decode(wsums, w):
     return curve.to_affine(combine_windows(window_sums_to_points(np.asarray(out)), w))
 
 
-@pytest.mark.parametrize("mode", ["window_sums", "buckets"])
+_MODES = ["window_sums"] + (
+    ["buckets"] if os.environ.get("MSM_FULL_TESTS") else []
+)
+
+
+@pytest.mark.parametrize("mode", _MODES)
 def test_sharded_msm_matches_oracle(mode):
     D = len(jax.devices())
     assert D == 8, "conftest should provide 8 virtual devices"

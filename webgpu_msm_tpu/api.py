@@ -140,3 +140,22 @@ def compute_msm(
         x, y = hybrid_engine.msm_affine(pts, sc, config)
         return AffinePoint(x, y)
     raise ValueError(f"unknown engine {engine!r}")
+
+
+def compute_msm_batch(
+    points_list: Sequence[Any],
+    scalars_list: Sequence[Any],
+    config: Optional[MSMConfig] = None,
+) -> list[AffinePoint]:
+    """Batched prover workload: many MSMs, host marshalling overlapped with
+    device compute (async dispatch; SURVEY.md §7.7)."""
+    config = config or MSMConfig()
+    from .engines import tpu_engine
+
+    jobs = [
+        (_normalize_points(p), _normalize_scalars(s))
+        for p, s in zip(points_list, scalars_list)
+    ]
+    return [
+        AffinePoint(x, y) for x, y in tpu_engine.msm_affine_batch(jobs, config)
+    ]

@@ -25,12 +25,18 @@ from ..utils import convert
 @functools.partial(jax.jit, static_argnames=("window_size", "n_chunks", "chunk_len"))
 def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len):
     """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
-    pts_mont = jnp.stack(
-        [
-            limbs.stack(field_ops.to_mont(limbs.unstack(points_plain[i])))
-            for i in range(3)
-        ]
-    )
+    n = points_plain.shape[-1]
+    if jax.default_backend() == "tpu" and n % 1024 == 0:
+        from ..ops.pallas import padd_kernels
+
+        pts_mont = padd_kernels.to_mont(points_plain)
+    else:
+        pts_mont = jnp.stack(
+            [
+                limbs.stack(field_ops.to_mont(limbs.unstack(points_plain[i])))
+                for i in range(3)
+            ]
+        )
     wsums_mont = pippenger.accumulate_and_reduce(
         pts_mont,
         scalar_words,
@@ -138,6 +144,37 @@ def msm_affine(
     wsums, w = msm_window_sums_host(points, scalars, config)
     result = combine_windows(wsums, w)
     return ocurve.to_affine(result)
+
+
+def msm_affine_batch(
+    jobs: Sequence[tuple[Sequence[ExtPoint], Sequence[int]]], config: MSMConfig
+) -> list[tuple[int, int]]:
+    """Streaming prover workload: many MSMs with overlapped host marshalling.
+
+    JAX dispatch is asynchronous, so each job's device pipeline runs while
+    the host marshals the next job's inputs — the reference's double-buffered
+    staging (gpu.ts:146-155 / DESIGN.md:117-124) at job granularity. Results
+    are fetched (and window-combined on host) only after every job has been
+    dispatched.
+    """
+    outs = []
+    for points, scalars in jobs:
+        n = len(points)
+        w = config.resolved_window_size(n)
+        C, L = config.resolved_chunking(n)
+        batch = C * L
+        pad_to = -(-n // batch) * batch
+        pts = marshal_points(points, pad_to)
+        sc = marshal_scalars(scalars, pad_to)
+        out = _device_msm(
+            jnp.asarray(pts), jnp.asarray(sc), window_size=w, n_chunks=C, chunk_len=L
+        )
+        outs.append((out, w))  # dispatched, not fetched: device keeps working
+    results = []
+    for out, w in outs:
+        wsums = window_sums_to_points(np.asarray(out))
+        results.append(ocurve.to_affine(combine_windows(wsums, w)))
+    return results
 
 
 def _be_words_to_planes(be_rows: np.ndarray) -> np.ndarray:

@@ -37,24 +37,29 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _unified_add(p1c, p2c):
-    """add-2008-hwcd (a=-1) on digit-list coordinate tuples (curve.wgsl:36-63)."""
+def _unified_add(p1c, p2c, mul=None):
+    """add-2008-hwcd (a=-1) on digit-list coordinate tuples (curve.wgsl:36-63).
+
+    `mul` selects the Montgomery-product engine (default CIOS on the VPU;
+    the scan kernel passes the MXU-REDC variant when enabled)."""
+    if mul is None:
+        mul = fk.kmont_mul
     x1, y1, t1, z1 = p1c
     x2, y2, t2, z2 = p2c
-    a = fk.kmont_mul(x1, x2)
-    b = fk.kmont_mul(y1, y2)
-    tt = fk.kmont_mul(t1, t2)
+    a = mul(x1, x2)
+    b = mul(y1, y2)
+    tt = mul(t1, t2)
     c = fk.kmul_d(tt)
-    d = fk.kmont_mul(z1, z2) if z2 is not None else z1
-    e = fk.ksub(fk.kmont_mul(fk.kadd(x1, y1), fk.kadd(x2, y2)), fk.kadd(a, b))
+    d = mul(z1, z2) if z2 is not None else z1
+    e = fk.ksub(mul(fk.kadd(x1, y1), fk.kadd(x2, y2)), fk.kadd(a, b))
     f = fk.ksub(d, c)
     g = fk.kadd(d, c)
     h = fk.kadd(b, a)
     return (
-        fk.kmont_mul(e, f),
-        fk.kmont_mul(g, h),
-        fk.kmont_mul(e, h),
-        fk.kmont_mul(f, g),
+        mul(e, f),
+        mul(g, h),
+        mul(e, h),
+        mul(f, g),
     )
 
 
@@ -161,8 +166,7 @@ def padd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp.
     return out.reshape(a_st.shape)
 
 
-def _accumulate_scan_kernel(pts_ref, ids_ref, staged_ref, facc_ref, fid_ref,
-                            acc_ref, accid_ref):
+def _accumulate_scan_kernel(*refs, use_mxu=False):
     """One (width-block, step) cell of the fused accumulation scan.
 
     Grid = (n_width_blocks, L); the accumulator lives in VMEM scratch and
@@ -171,6 +175,17 @@ def _accumulate_scan_kernel(pts_ref, ids_ref, staged_ref, facc_ref, fid_ref,
     stream HBM->VMEM via the grid pipeline (the reference's double-buffered
     staging, gpu.ts:146-155, for free), flushes stream back per step.
     """
+    if use_mxu:
+        from . import field_kernels_mxu as fkm
+
+        (pts_ref, ids_ref, m1_ref, m2_ref,
+         staged_ref, facc_ref, fid_ref, acc_ref, accid_ref) = refs
+        m1, m2 = m1_ref[...], m2_ref[...]
+        mul = lambda x, y: fkm.kmont_mul_mxu(x, y, m1, m2)
+    else:
+        (pts_ref, ids_ref,
+         staged_ref, facc_ref, fid_ref, acc_ref, accid_ref) = refs
+        mul = None
     l = pl.program_id(1)
 
     @pl.when(l == 0)
@@ -195,7 +210,7 @@ def _accumulate_scan_kernel(pts_ref, ids_ref, staged_ref, facc_ref, fid_ref,
     one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
 
     same = ids == acc_id
-    added = _unified_add(acc, (px, py, pt, None))
+    added = _unified_add(acc, (px, py, pt, None), mul=mul)
     fresh = (px, py, pt, one)
     new_acc = tuple(fk.kselect(same, s, f) for s, f in zip(added, fresh))
 
@@ -210,37 +225,55 @@ def _accumulate_scan_kernel(pts_ref, ids_ref, staged_ref, facc_ref, fid_ref,
         fid_ref[...] = ids
 
 
-def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = SUBLANES):
+def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
+                    use_mxu: bool = False):
     """Fused bucket-accumulation scan.
 
     xs_pts [L, 3, 16, W] Montgomery digit planes (sorted run order),
     ids [L, W] bucket ids -> (final_acc [4,16,W], final_id [W],
     staged [L,4,16,W]) with semantics identical to the lax.scan version in
     ops/pippenger.py (staged[l] = pre-update accumulator at step l).
+    use_mxu selects the MXU-REDC Montgomery engine (field_kernels_mxu).
     """
     L, _, _, W = xs_pts.shape
     rows = W // LANES
+    if block_rows <= 0:
+        # 16 sublanes/cell measured fastest (scripts/bench_scan_blocks.py);
+        # 64+ exceeds the 16 MB scoped-VMEM budget.
+        block_rows = 16 if rows % 16 == 0 else SUBLANES
     assert W % (block_rows * LANES) == 0, (W, block_rows)
     n_wb = rows // block_rows
     pts5 = xs_pts.reshape(L, 3, 16, rows, LANES)
     ids3 = ids.reshape(L, rows, LANES)
 
     grid = (n_wb, L)
+    in_specs = [
+        pl.BlockSpec(
+            (None, 3, 16, block_rows, LANES),
+            lambda wb, l: (l, 0, 0, wb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, block_rows, LANES),
+            lambda wb, l: (l, wb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [pts5, ids3]
+    if use_mxu:
+        from . import field_kernels_mxu as fkm
+
+        for mat in fkm.const_inputs():
+            in_specs.append(
+                pl.BlockSpec(
+                    mat.shape, lambda wb, l: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(jnp.asarray(mat))
     staged, facc, fid = pl.pallas_call(
-        _accumulate_scan_kernel,
+        functools.partial(_accumulate_scan_kernel, use_mxu=use_mxu),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (None, 3, 16, block_rows, LANES),
-                lambda wb, l: (l, 0, 0, wb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, block_rows, LANES),
-                lambda wb, l: (l, wb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_shape=(
             jax.ShapeDtypeStruct((L, 4, 16, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
@@ -266,12 +299,47 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = SUB
             pltpu.VMEM((block_rows, LANES), jnp.uint32),
         ],
         interpret=_interpret(),
-    )(pts5, ids3)
+    )(*args)
     return (
         facc.reshape(4, 16, W),
         fid.reshape(W),
         staged.reshape(L, 4, 16, W),
     )
+
+
+def _to_mont_kernel(pts_ref, o_ref):
+    from ...oracle.field import R2_MOD_P
+
+    n_coords = pts_ref.shape[0]
+    for c in range(n_coords):
+        coord = [pts_ref[c, d] for d in range(16)]
+        out = fk.kmont_mul_const(coord, R2_MOD_P)
+        for d in range(16):
+            o_ref[c, d] = out[d]
+
+
+def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
+    """Plain -> Montgomery domain over stacked [n_coords, 16, W] coords."""
+    n_coords = pts_st.shape[0]
+    W = pts_st.shape[-1]
+    rows = W // LANES
+    if rows % block_rows:
+        block_rows = SUBLANES
+    assert W % (block_rows * LANES) == 0, W
+    spec = pl.BlockSpec(
+        (n_coords, 16, block_rows, LANES),
+        lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        _to_mont_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_coords, 16, rows, LANES), jnp.uint32),
+        grid=(rows // block_rows,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(pts_st.reshape(n_coords, 16, rows, LANES))
+    return out.reshape(pts_st.shape)
 
 
 def scan_step(acc_st, acc_id, pts_st, ids):

@@ -70,6 +70,47 @@ def _roll_pts(stacked: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarra
     return jnp.roll(stacked, shift, axis=axis)
 
 
+def _use_pallas(batch_elems: int) -> bool:
+    return jax.default_backend() == "tpu" and batch_elems % 1024 == 0
+
+
+def _vadd(a_st: jnp.ndarray, b_st: jnp.ndarray) -> jnp.ndarray:
+    """Unified add over stacked [4, 16, *batch] points; Pallas on TPU."""
+    batch = a_st.shape[2:]
+    n = 1
+    for d in batch:
+        n *= d
+    if _use_pallas(n):
+        from .pallas import padd_kernels
+
+        out = padd_kernels.padd(a_st.reshape(4, 16, n), b_st.reshape(4, 16, n))
+        return out.reshape(a_st.shape)
+    return curve_ops.add(
+        PointVec.from_stacked(a_st), PointVec.from_stacked(b_st)
+    ).stacked()
+
+
+def _vadd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """mask ? a+b : a over stacked [4, 16, *batch] points; Pallas on TPU."""
+    batch = a_st.shape[2:]
+    n = 1
+    for d in batch:
+        n *= d
+    if _use_pallas(n):
+        from .pallas import padd_kernels
+
+        out = padd_kernels.padd_masked(
+            a_st.reshape(4, 16, n),
+            b_st.reshape(4, 16, n),
+            mask.astype(jnp.uint32).reshape(n),
+        )
+        return out.reshape(a_st.shape)
+    summed = curve_ops.add(
+        PointVec.from_stacked(a_st), PointVec.from_stacked(b_st)
+    )
+    return curve_ops.select(mask, summed, PointVec.from_stacked(a_st)).stacked()
+
+
 def accumulate_buckets(
     points: jnp.ndarray,  # [3, 16, n] uint32: x, y, t digit planes (Montgomery)
     scalar_words: jnp.ndarray,  # [8, n] uint32 LE words
@@ -107,10 +148,7 @@ def accumulate_buckets(
     def body(carry_st, xs):
         pts_i, dig_i = xs
         bsums = _accumulate_batch(pts_i, dig_i, w, C, L)
-        combined = curve_ops.add(
-            PointVec.from_stacked(carry_st), PointVec.from_stacked(bsums)
-        ).stacked()
-        return combined, None
+        return _vadd(carry_st, bsums), None
 
     init = curve_ops.identity((K, B)).stacked()
     total, _ = lax.scan(body, init, (pts_b, dig_b))
@@ -192,10 +230,7 @@ def _accumulate_batch(
         shifted = _roll_pts(carry_st, d, axis=-1)
         shifted_id = jnp.roll(final_id, d, axis=-1)
         ok = (lane_idx >= d) & (shifted_id == final_id)
-        cur = PointVec.from_stacked(carry_st)
-        sh = PointVec.from_stacked(shifted)
-        summed = curve_ops.add(cur, sh)
-        return curve_ops.select(ok, summed, cur).stacked()
+        return _vadd_masked(carry_st, shifted, ok)
 
     n_lev_c = max((C - 1).bit_length(), 1)
     carries_scanned = lax.fori_loop(0, n_lev_c, seg_level, final_acc_st)
@@ -232,10 +267,7 @@ def _accumulate_batch(
     id_kb = curve_ops.identity((K, B)).stacked()
     a_st = jnp.where(staged_valid[None, None], staged_pts, id_kb)
     b_st = jnp.where(carry_valid[None, None], carry_pts, id_kb)
-    bucket_sums = curve_ops.add(
-        PointVec.from_stacked(a_st), PointVec.from_stacked(b_st)
-    ).stacked()  # [4, 16, K, B]
-    return bucket_sums
+    return _vadd(a_st, b_st)  # [4, 16, K, B]
 
 
 def _suffix_weighted(bucket_sums: jnp.ndarray) -> jnp.ndarray:
@@ -251,10 +283,7 @@ def _suffix_weighted(bucket_sums: jnp.ndarray) -> jnp.ndarray:
         d = jnp.int32(1) << i
         shifted = _roll_pts(st, -d, axis=-1)
         ok = bucket_idx + d < B
-        cur = PointVec.from_stacked(st)
-        sh = PointVec.from_stacked(shifted)
-        summed = curve_ops.add(cur, sh)
-        return curve_ops.select(ok, summed, cur).stacked()
+        return _vadd_masked(st, shifted, ok)
 
     n_lev_b = max((B - 1).bit_length(), 1)
     suffixes = lax.fori_loop(0, n_lev_b, suffix_level, bucket_sums)
@@ -265,10 +294,7 @@ def _suffix_weighted(bucket_sums: jnp.ndarray) -> jnp.ndarray:
         d = jnp.int32(1) << i
         shifted = _roll_pts(st, d, axis=-1)
         ok = bucket_idx >= d
-        cur = PointVec.from_stacked(st)
-        sh = PointVec.from_stacked(shifted)
-        summed = curve_ops.add(cur, sh)
-        return curve_ops.select(ok, summed, cur).stacked()
+        return _vadd_masked(st, shifted, ok)
 
     totals = lax.fori_loop(0, n_lev_b, total_level, suffixes)
     window_sums = totals[..., B - 1]  # [4, 16, K]
@@ -276,18 +302,25 @@ def _suffix_weighted(bucket_sums: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tree_sum_axis(st: jnp.ndarray) -> jnp.ndarray:
-    """Plain group sum over the trailing axis by repeated halving.
+    """Plain group sum over the trailing axis (log-depth).
 
-    [4, 16, K, G] -> [4, 16, K]; G must be a power of two. Work G-1 adds."""
+    [4, 16, K, G] -> [4, 16, K]; G must be a power of two. Uses a roll-based
+    fori_loop so the point-add graph is compiled ONCE regardless of G (the
+    halving formulation would emit log2(G) distinct-shape add graphs —
+    compile-time poison under SPMD partitioning)."""
     G = st.shape[-1]
-    while G > 1:
-        half = G // 2
-        st = curve_ops.add(
-            PointVec.from_stacked(st[..., :half]),
-            PointVec.from_stacked(st[..., half:]),
-        ).stacked()
-        G = half
-    return st[..., 0]
+    if G == 1:
+        return st[..., 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, st.shape[-2:], 1)
+
+    def level(i, cur):
+        d = jnp.int32(1) << i
+        shifted = _roll_pts(cur, -d, axis=-1)
+        ok = lane + d < G
+        return _vadd_masked(cur, shifted, ok)
+
+    out = lax.fori_loop(0, (G - 1).bit_length(), level, st)
+    return out[..., 0]
 
 
 def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray:
@@ -325,22 +358,20 @@ def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray
         running_st, u_st = carry
         r = Gs - 1 - i  # r runs Gs-1 .. 1
         s_r = lax.dynamic_index_in_dim(s, r, axis=4, keepdims=False)
-        run = curve_ops.add(
-            PointVec.from_stacked(running_st), PointVec.from_stacked(s_r)
-        ).stacked()
-        u = curve_ops.add(
-            PointVec.from_stacked(u_st), PointVec.from_stacked(run)
-        ).stacked()
+        run = _vadd(running_st, s_r)
+        u = _vadd(u_st, run)
         return run, u
 
     running, U = lax.fori_loop(0, Gs - 1, body, (id_kg, id_kg))
-    T = curve_ops.add(
-        PointVec.from_stacked(running), PointVec.from_stacked(s[..., 0])
-    ).stacked()  # [4, 16, K, G]
+    T = _vadd(running, s[..., 0])  # [4, 16, K, G]
 
     V = _suffix_weighted(T)  # sum_g g * T_g, [4, 16, K]
-    for _ in range(Gs.bit_length() - 1):  # * Gs (power of two)
-        V = curve_ops.double(PointVec.from_stacked(V)).stacked()
+    V = lax.fori_loop(  # * Gs (power of two): one double graph, log2 Gs iters
+        0,
+        Gs.bit_length() - 1,
+        lambda i, st: curve_ops.double(PointVec.from_stacked(st)).stacked(),
+        V,
+    )
     U_tot = _tree_sum_axis(U)
     return curve_ops.add(
         PointVec.from_stacked(V), PointVec.from_stacked(U_tot)

@@ -36,22 +36,28 @@ AXIS = "points"  # mesh axis the point vector is sharded over
 def tree_add_points(stacked: jnp.ndarray) -> jnp.ndarray:
     """[D, 4, 16, *batch] stacked points -> [4, 16, *batch] group sum.
 
-    Log-depth tree of vectorized unified adds (D is static).
+    Log-depth tree of vectorized unified adds, via a shift-based fori_loop
+    so the add graph compiles once regardless of D (an unrolled halving tree
+    would emit log2(D) distinct add graphs under the SPMD partitioner).
     """
-    parts = [stacked[i] for i in range(stacked.shape[0])]
-    while len(parts) > 1:
-        nxt = []
-        for i in range(0, len(parts) - 1, 2):
-            nxt.append(
-                curve_ops.add(
-                    PointVec.from_stacked(parts[i]),
-                    PointVec.from_stacked(parts[i + 1]),
-                ).stacked()
-            )
-        if len(parts) % 2:
-            nxt.append(parts[-1])
-        parts = nxt
-    return parts[0]
+    D = stacked.shape[0]
+    if D == 1:
+        return stacked[0]
+    # move D to the trailing axis so lane masking broadcasts naturally
+    moved = jnp.moveaxis(stacked, 0, -1)  # [4, 16, *batch, D]
+    lane = jax.lax.broadcasted_iota(jnp.int32, moved.shape[2:], moved.ndim - 3)
+
+    def level(i, cur):
+        d = jnp.int32(1) << i
+        shifted = jnp.roll(cur, -d, axis=-1)
+        ok = lane + d < D
+        summed = curve_ops.add(
+            PointVec.from_stacked(cur), PointVec.from_stacked(shifted)
+        )
+        return curve_ops.select(ok, summed, PointVec.from_stacked(cur)).stacked()
+
+    out = jax.lax.fori_loop(0, (D - 1).bit_length(), level, moved)
+    return out[..., 0]
 
 
 def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode):
