@@ -17,7 +17,7 @@ ids = jnp.asarray(rng.integers(0, 1024, size=(L, W), dtype=np.uint32))
 ref = None
 for br in (8, 16, 32, 64):
   try:
-    fn = jax.jit(lambda x, i, br=br: padd_kernels.accumulate_scan(x, i, block_rows=br)[0])
+    fn = jax.jit(lambda x, i, br=br: padd_kernels.accumulate_scan(jnp.transpose(x, (1, 2, 0, 3)), i, block_rows=br)[0])
     out = fn(xs, ids); np.asarray(out.ravel()[0])
     ts = []
     for _ in range(3):

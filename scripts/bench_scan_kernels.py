@@ -85,13 +85,17 @@ def main():
 
     @jax.jit
     def fused(xs_pts, ids):
-        facc, fid, staged = padd_kernels.accumulate_scan(xs_pts, ids)
-        return facc, staged
+        facc, fid, staged = padd_kernels.accumulate_scan(
+            jnp.transpose(xs_pts, (1, 2, 0, 3)), ids
+        )
+        return facc, jnp.transpose(staged, (2, 0, 1, 3))
 
     @jax.jit
     def fused_mxu(xs_pts, ids):
-        facc, fid, staged = padd_kernels.accumulate_scan(xs_pts, ids, use_mxu=True)
-        return facc, staged
+        facc, fid, staged = padd_kernels.accumulate_scan(
+            jnp.transpose(xs_pts, (1, 2, 0, 3)), ids, use_mxu=True
+        )
+        return facc, jnp.transpose(staged, (2, 0, 1, 3))
 
     print(f"W={W} L={L} backend={jax.default_backend()}")
     r1 = timeit(scan_jnp, xs_pts, ids, name="jnp scan body")

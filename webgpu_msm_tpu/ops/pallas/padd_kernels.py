@@ -229,13 +229,16 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
                     use_mxu: bool = False):
     """Fused bucket-accumulation scan.
 
-    xs_pts [L, 3, 16, W] Montgomery digit planes (sorted run order),
-    ids [L, W] bucket ids -> (final_acc [4,16,W], final_id [W],
-    staged [L,4,16,W]) with semantics identical to the lax.scan version in
-    ops/pippenger.py (staged[l] = pre-update accumulator at step l).
+    xs_pts [3, 16, L, W] Montgomery digit planes (sorted run order — the raw
+    gather layout, no host-side transpose needed), ids [L, W] bucket ids ->
+    (final_acc [4,16,W], final_id [W], staged [4,16,L,W]) with semantics
+    identical to the lax.scan version in ops/pippenger.py (staged[..., l, :]
+    = pre-update accumulator at step l; the [4,16,L,W] layout is exactly
+    what the bucket-combine gather consumes, so neither input nor output
+    pays a relayout pass).
     use_mxu selects the MXU-REDC Montgomery engine (field_kernels_mxu).
     """
-    L, _, _, W = xs_pts.shape
+    _, _, L, W = xs_pts.shape
     rows = W // LANES
     if block_rows <= 0:
         # 16 sublanes/cell measured fastest (scripts/bench_scan_blocks.py);
@@ -243,14 +246,14 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         block_rows = 16 if rows % 16 == 0 else SUBLANES
     assert W % (block_rows * LANES) == 0, (W, block_rows)
     n_wb = rows // block_rows
-    pts5 = xs_pts.reshape(L, 3, 16, rows, LANES)
+    pts5 = xs_pts.reshape(3, 16, L, rows, LANES)
     ids3 = ids.reshape(L, rows, LANES)
 
     grid = (n_wb, L)
     in_specs = [
         pl.BlockSpec(
-            (None, 3, 16, block_rows, LANES),
-            lambda wb, l: (l, 0, 0, wb, 0),
+            (3, 16, None, block_rows, LANES),
+            lambda wb, l: (0, 0, l, wb, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -275,14 +278,14 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         grid=grid,
         in_specs=in_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((L, 4, 16, rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, 16, L, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
         ),
         out_specs=(
             pl.BlockSpec(
-                (None, 4, 16, block_rows, LANES),
-                lambda wb, l: (l, 0, 0, wb, 0),
+                (4, 16, None, block_rows, LANES),
+                lambda wb, l: (0, 0, l, wb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -303,7 +306,7 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
     return (
         facc.reshape(4, 16, W),
         fid.reshape(W),
-        staged.reshape(L, 4, 16, W),
+        staged.reshape(4, 16, L, W),
     )
 
 

@@ -175,11 +175,11 @@ def _accumulate_batch(
     perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))  # [L, K, C]
     ids_lkc = jnp.transpose(sorted_digits.reshape(K, C, L), (2, 0, 1))
 
-    # Gather sorted points once: [3, 16, L, K, C].
+    # Gather sorted points once: [3, 16, L, K, C] — already the scan
+    # kernel's input layout, no relayout pass.
     sorted_pts = jnp.take(points, perm_lkc.reshape(-1), axis=-1).reshape(
         3, 16, L, K, C
     )
-    xs_pts = jnp.transpose(sorted_pts, (2, 0, 1, 3, 4))  # [L, 3, 16, K, C]
 
     zero = jnp.zeros((K, C), dtype=jnp.uint32)
     one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
@@ -192,12 +192,13 @@ def _accumulate_batch(
         from .pallas import padd_kernels
 
         facc, fid, staged = padd_kernels.accumulate_scan(
-            xs_pts.reshape(L, 3, 16, W), ids_lkc.reshape(L, W)
+            sorted_pts.reshape(3, 16, L, W), ids_lkc.reshape(L, W)
         )
         final_acc_st = facc.reshape(4, 16, K, C)
         final_id = fid.reshape(K, C)
-        staged_st = staged.reshape(L, 4, 16, K, C)
+        staged_lkw = staged  # [4, 16, L, K*C] — bucket-combine layout
     else:
+        xs_pts = jnp.transpose(sorted_pts, (2, 0, 1, 3, 4))  # [L, 3, 16, K, C]
 
         def scan_body(carry, xs):
             acc_st, acc_id = carry  # [4, 16, K, C], [K, C]
@@ -219,7 +220,10 @@ def _accumulate_batch(
         (final_acc_st, final_id), staged_st = lax.scan(
             scan_body, init, (xs_pts, ids_lkc)
         )
-    # staged_st: [L, 4, 16, K, C];
+        staged_lkw = jnp.transpose(staged_st, (1, 2, 0, 3, 4)).reshape(
+            4, 16, L, K * C
+        )
+    # staged_lkw: [4, 16, L, K*C] (bucket-combine gather layout);
     # final carries: [4, 16, K, C] with ids final_id == last id per lane.
 
     # ---- segmented inclusive scan over lanes (combine cross-lane runs) ----
@@ -257,7 +261,7 @@ def _accumulate_batch(
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)
 
     # Flat gathers along a single trailing axis (explicit and layout-friendly).
-    staged_flat = jnp.transpose(staged_st, (1, 2, 0, 3, 4)).reshape(4, 16, L * K * C)
+    staged_flat = staged_lkw.reshape(4, 16, L * K * C)
     staged_idx = (j_staged * (K * C) + k_idx * C + c1).reshape(-1)
     staged_pts = jnp.take(staged_flat, staged_idx, axis=-1).reshape(4, 16, K, B)
     carry_flat = carries_scanned.reshape(4, 16, K * C)
