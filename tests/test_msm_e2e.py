@@ -52,6 +52,33 @@ def test_tpu_engine_adversarial_scalars():
         assert (got.x, got.y) == (want.x, want.y), f"scalars={scal[:3]}..."
 
 
+def test_tpu_engine_signed_digits():
+    """Signed (balanced) digit mode: negated-point buckets, bucket range
+    2^(w-1)+1; must agree bit-exactly with the unsigned oracle result."""
+    pts = fixtures.distinct_points(64, seed=91)
+    scalars = fixtures.random_scalars(64, seed=92)
+    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8, signed_digits=True)
+    got = m.compute_msm(pts, scalars, config=cfg, engine="tpu")
+    want = m.compute_msm(pts, scalars, config=MSMConfig(window_size=8), engine="oracle")
+    assert (got.x, got.y) == (want.x, want.y)
+
+
+def test_tpu_engine_signed_adversarial():
+    """All digits at the +/- boundary: scalars of repeated 2^(w-1) digits
+    force every recode branch (carry chains through all windows)."""
+    b = fixtures.base_point()
+    n = 64
+    w = 8
+    half_pattern = 0
+    for k in range(31):  # 248 bits of digit 128 = 0x80 repeating
+        half_pattern |= 0x80 << (8 * k)
+    cfg = MSMConfig(window_size=w, n_chunks=8, chunk_len=8, signed_digits=True)
+    for scal in [[half_pattern] * n, [(1 << 253) - 1] * n, [0] * n]:
+        got = m.compute_msm([b] * n, scal, config=cfg, engine="tpu")
+        want = m.compute_msm([b] * n, scal, config=MSMConfig(window_size=w), engine="oracle")
+        assert (got.x, got.y) == (want.x, want.y)
+
+
 def test_tpu_engine_single_point():
     b = fixtures.base_point()
     cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8)

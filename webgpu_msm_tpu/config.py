@@ -27,6 +27,19 @@ def best_window_size(n_points: int) -> int:
     return 13
 
 
+def best_window_size_signed(n_points: int) -> int:
+    """Auto window size for signed (balanced) digits.
+
+    Signed digits halve the bucket range (|digit| <= 2^(w-1)), which halves
+    the bucket-reduction and histogram cost at the same w. Larger windows
+    were swept at 2^20 on v5e (bench.py --window): w=13 1.155M pts/s,
+    w=14 1.130M, w=15 1.041M, w=16 0.964M — the accumulation scan dominates
+    and its cost tracks K = ceil(256/w) only weakly beyond w=13, while the
+    B-proportional costs (histogram, bucket assembly, reduction) double per
+    +1. The unsigned auto rule stays optimal."""
+    return best_window_size(n_points)
+
+
 def default_chunking(n_points: int) -> Tuple[int, int]:
     """Pick (n_chunks, chunk_len) with n_chunks * chunk_len >= n_points.
 
@@ -61,6 +74,10 @@ class MSMConfig:
     # Accumulation chunking; None -> default_chunking(n).
     n_chunks: Optional[int] = None
     chunk_len: Optional[int] = None
+    # Signed (balanced) digit decomposition: halves the bucket range by
+    # negating points on the fly (free on Edwards curves), enabling larger
+    # windows. Requires scalars < 2^254; the engine checks and falls back.
+    signed_digits: bool = True
     # Multi-chip: how window/bucket partials are combined across devices.
     #   "window_sums": all-gather per-window sums (tiny payload; default)
     #   "buckets":     all-gather full bucket arrays, combine locally
@@ -68,7 +85,12 @@ class MSMConfig:
     collective_mode: str = "window_sums"
 
     def resolved_window_size(self, n_points: int) -> int:
-        w = self.window_size if self.window_size is not None else best_window_size(n_points)
+        if self.window_size is not None:
+            w = self.window_size
+        elif self.signed_digits:
+            w = best_window_size_signed(n_points)
+        else:
+            w = best_window_size(n_points)
         if w not in SUPPORTED_WINDOW_SIZES:
             raise ValueError(f"unsupported window size {w}; supported: {SUPPORTED_WINDOW_SIZES}")
         return w

@@ -22,8 +22,12 @@ from ..ops import field_ops, limbs, pippenger, windows
 from ..utils import convert
 
 
-@functools.partial(jax.jit, static_argnames=("window_size", "n_chunks", "chunk_len"))
-def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len):
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
+)
+def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len,
+                signed_digits=False):
     """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
     n = points_plain.shape[-1]
     if jax.default_backend() == "tpu" and n % 1024 == 0:
@@ -43,6 +47,7 @@ def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len)
         window_size=window_size,
         n_chunks=n_chunks,
         chunk_len=chunk_len,
+        signed_digits=signed_digits,
     )
     out = jnp.stack(
         [
@@ -97,6 +102,14 @@ def marshal_scalars(scalars: Sequence[int], pad_to: int) -> np.ndarray:
     return convert.bigints_to_words_le(sc)  # [8, pad_to]
 
 
+def _signed_ok(config: MSMConfig, scalar_words: np.ndarray) -> bool:
+    """Signed-digit recoding needs scalars < 2^254 (no top-window carry-out);
+    field scalars are < 2^253 (word 7 < 2^29). Vectorized host check."""
+    if not config.signed_digits:
+        return False
+    return bool(np.all(scalar_words[7] < (1 << 29)))
+
+
 def window_sums_to_points(wsums: np.ndarray) -> list[ExtPoint]:
     """[4, 16, K] plain digit planes -> K ExtPoints."""
     K = wsums.shape[-1]
@@ -133,6 +146,7 @@ def msm_window_sums_host(
             window_size=w,
             n_chunks=C,
             chunk_len=L,
+            signed_digits=_signed_ok(config, sc),
         )
         out_host = np.asarray(out)
     return window_sums_to_points(out_host), w
@@ -167,7 +181,8 @@ def msm_affine_batch(
         pts = marshal_points(points, pad_to)
         sc = marshal_scalars(scalars, pad_to)
         out = _device_msm(
-            jnp.asarray(pts), jnp.asarray(sc), window_size=w, n_chunks=C, chunk_len=L
+            jnp.asarray(pts), jnp.asarray(sc), window_size=w, n_chunks=C,
+            chunk_len=L, signed_digits=_signed_ok(config, sc),
         )
         outs.append((out, w))  # dispatched, not fetched: device keeps working
     results = []
@@ -226,6 +241,7 @@ def msm_affine_wire(
             window_size=w,
             n_chunks=C,
             chunk_len=L,
+            signed_digits=_signed_ok(config, sc),
         )
         out_host = np.asarray(out)
     result = combine_windows(window_sums_to_points(out_host), w)

@@ -202,11 +202,18 @@ def _accumulate_scan_kernel(*refs, use_mxu=False):
 
     acc = _coords(acc_ref[...])
     acc_id = accid_ref[...]
-    ids = ids_ref[...]
+    raw = ids_ref[...]
+    # bit 31 carries the signed-digit flag (pippenger.py packs it); the run
+    # id is the bucket alone — a sign change must NOT split a bucket's run.
+    ids = raw & 0x7FFFFFFF
+    sgn = raw >> 31
     p = pts_ref[...]
     px = [p[0, d] for d in range(16)]
     py = [p[1, d] for d in range(16)]
     pt = [p[2, d] for d in range(16)]
+    neg = sgn == 1
+    px = fk.kselect(neg, fk.kneg(px), px)
+    pt = fk.kselect(neg, fk.kneg(pt), pt)
     one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
 
     same = ids == acc_id

@@ -24,6 +24,36 @@ def n_windows(window_size: int) -> int:
     return -(-SCALAR_BITS // window_size)
 
 
+def split_windows_signed(
+    scalar_words: jnp.ndarray, window_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Signed-digit (balanced) decomposition: digits in [-2^(w-1), 2^(w-1)].
+
+    Returns (buckets [K, n] = |digit|, signs [K, n] in {0, 1}). Negating an
+    Edwards point is one field negation of x and t, so signed digits halve
+    the bucket range: B = 2^(w-1)+1 instead of 2^w, letting a larger w (fewer
+    windows -> fewer point adds) pay the same reduction cost.
+
+    Requires scalars < 2^254 so the top window cannot produce a carry-out
+    (callers check the top word; inputs are 253-bit field scalars,
+    README.md:66-96).
+    """
+    w = window_size
+    digits = split_windows(scalar_words, w)  # [K, n], values < 2^w
+    K = n_windows(w)
+    half = jnp.uint32(1 << (w - 1))
+    full = jnp.uint32(1 << w)
+    buckets, signs = [], []
+    carry = jnp.zeros_like(digits[0])
+    for k in range(K):
+        v = digits[k] + carry  # <= 2^w
+        neg = v >= half
+        buckets.append(jnp.where(neg, full - v, v))  # |signed|; v==2^w -> 0
+        signs.append(neg.astype(jnp.uint32))
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(buckets), jnp.stack(signs)
+
+
 def split_windows(scalar_words: jnp.ndarray, window_size: int) -> jnp.ndarray:
     """[8, n] LE u32 words -> [n_windows, n] u32 digits."""
     w = window_size
