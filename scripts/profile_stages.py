@@ -1,8 +1,10 @@
-"""Stage-level timing of the MSM pipeline on the current backend.
+"""Stage-level timing of the production MSM pipeline on the current backend.
 
 Times each phase of ops/pippenger.py separately (jitted in isolation) to show
-where device time goes: sort, gather, scan accumulation, lane combine +
-bucket assembly, bucket reduction.
+where device time goes: to_niels, window split + sort, point gather, fused
+accumulation scan, lane combine + histogram + bucket assembly, bucket
+reduction. Matches the production path (signed digits, batching) so numbers
+add up to the full pipeline.
 """
 import argparse
 import functools
@@ -22,14 +24,11 @@ from webgpu_msm_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from webgpu_msm_tpu.config import MSMConfig
-from webgpu_msm_tpu.ops import curve_ops, field_ops, limbs, pippenger, windows
-from webgpu_msm_tpu.ops.curve_ops import PointVec
+from webgpu_msm_tpu.ops import curve_ops, pippenger, windows
 from bench import build_inputs
 
 
 def _sync(out):
-    # block_until_ready can return early on the tunneled TPU; fetching one
-    # element of every leaf is the reliable fence (tiny transfer).
     for leaf in jax.tree_util.tree_leaves(out):
         np.asarray(leaf.ravel()[0])
 
@@ -44,13 +43,13 @@ def timeit(fn, *args, iters=3, name=""):
         _sync(out)
         times.append(time.perf_counter() - t0)
     ms = np.median(times) * 1000
-    print(f"{name:28s} {ms:9.2f} ms")
+    print(f"{name:36s} {ms:9.2f} ms")
     return out, ms
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-pow", type=int, default=16)
+    ap.add_argument("--n-pow", type=int, default=20)
     ap.add_argument("--window", type=int, default=None)
     args = ap.parse_args()
     n = 1 << args.n_pow
@@ -58,93 +57,104 @@ def main():
     w = cfg.resolved_window_size(n)
     C, L = cfg.resolved_chunking(n)
     K = windows.n_windows(w)
-    B = 1 << w
-    print(f"n=2^{args.n_pow} w={w} K={K} B={B} C={C} L={L} backend={jax.default_backend()}")
+    B = pippenger.n_buckets(w, True)
+    M = C * L
+    n_batches = n // M
+    print(
+        f"n=2^{args.n_pow} w={w} K={K} B={B} C={C} L={L} "
+        f"batches={n_batches} backend={jax.default_backend()}"
+    )
 
     planes, words, _ = build_inputs(n)
     pts = jnp.asarray(planes)
     sc = jnp.asarray(words)
 
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from webgpu_msm_tpu.ops.pallas import padd_kernels
+
+        to_niels = jax.jit(padd_kernels.to_niels)
+    else:
+        to_niels = jax.jit(curve_ops.to_niels_planes)
+    pts_niels, t_niels = timeit(to_niels, pts, name="to_niels")
+
+    # Per-batch stages (first batch only; whole pipeline scales ~linearly).
+    pts_b = pts_niels[..., :M]
+    sc_b = sc[..., :M]
+
     @jax.jit
-    def to_mont(points_plain):
-        return jnp.stack(
-            [
-                limbs.stack(field_ops.to_mont(limbs.unstack(points_plain[i])))
-                for i in range(3)
-            ]
+    def split(scalar_words):
+        buckets, sgn = windows.split_windows_signed(scalar_words, w)
+        return buckets | (sgn << 31)
+
+    digits, t_split = timeit(split, sc_b, name="window split (signed)")
+
+    @jax.jit
+    def sort(digits):
+        keys = digits & jnp.uint32(0x7FFFFFFF)
+        iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
+        _, sorted_packed, perm = jax.lax.sort(
+            (keys, digits, iota), dimension=1, num_keys=1
         )
+        return sorted_packed, perm
 
-    pts_mont, t_mont = timeit(to_mont, pts, name="to_mont")
-
-    @jax.jit
-    def split_sort(scalar_words):
-        digits = windows.split_windows(scalar_words, w)
-        perm = jnp.argsort(digits, axis=1)
-        sorted_digits = jnp.take_along_axis(digits, perm, axis=1)
-        return perm, sorted_digits
-
-    (perm, sorted_digits), t_sort = timeit(split_sort, sc, name="split+argsort")
+    (sorted_packed, perm), t_sort = timeit(sort, digits, name="sort (3-operand)")
 
     @jax.jit
     def gather(points, perm):
         perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))
-        sorted_pts = jnp.take(points, perm_lkc.reshape(-1), axis=-1).reshape(
-            3, 16, L, K, C
-        )
-        return jnp.transpose(sorted_pts, (2, 0, 1, 3, 4))
+        pts_rows = points.reshape(48, M).T
+        rows = jnp.take(pts_rows, perm_lkc.reshape(-1), axis=0)
+        return jnp.transpose(rows.reshape(L, K, C, 3, 16), (3, 4, 0, 1, 2))
 
-    xs_pts, t_gather = timeit(gather, pts_mont, perm, name="gather sorted points")
+    sorted_pts, t_gather = timeit(gather, pts_b, perm, name="gather sorted points")
 
-    ids_lkc = jnp.transpose(sorted_digits.reshape(K, C, L), (2, 0, 1))
+    ids_lkc = jnp.transpose(sorted_packed.reshape(K, C, L), (2, 0, 1))
+    W = K * C
+
+    if on_tpu and W % 1024 == 0:
+        from webgpu_msm_tpu.ops.pallas import padd_kernels
+
+        @jax.jit
+        def scan(sorted_pts, ids_lkc):
+            return padd_kernels.accumulate_scan(
+                sorted_pts.reshape(3, 16, L, W), ids_lkc.reshape(L, W)
+            )
+
+        _, t_scan = timeit(scan, sorted_pts, ids_lkc, name=f"fused scan (L={L}, W={W})")
+    else:
+        t_scan = float("nan")
 
     @jax.jit
-    def scan_acc(xs_pts, ids_lkc):
-        from webgpu_msm_tpu.oracle.field import R_MOD_P
+    def batch_all(points, digits):
+        return pippenger._accumulate_batch(points, digits, w, C, L, B)
 
-        one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
-        id_pt = curve_ops.identity((K, C))
-
-        def scan_body(carry, xs):
-            acc_st, acc_id = carry
-            pts_j, ids_j = xs
-            acc = PointVec.from_stacked(acc_st)
-            px = limbs.unstack(pts_j[0])
-            py = limbs.unstack(pts_j[1])
-            pt = limbs.unstack(pts_j[2])
-            same = ids_j == acc_id
-            added = curve_ops.add_mixed(acc, px, py, pt)
-            fresh = PointVec(px, py, pt, one_mont)
-            new_acc = curve_ops.select(same, added, fresh)
-            return (new_acc.stacked(), ids_j), acc_st
-
-        init = (id_pt.stacked(), jnp.full((K, C), pippenger.SENTINEL, dtype=jnp.uint32))
-        (final_acc, final_id), staged = lax.scan(scan_body, init, (xs_pts, ids_lkc))
-        return final_acc, final_id, staged
-
-    (final_acc, final_id, staged), t_scan = timeit(
-        scan_acc, xs_pts, ids_lkc, name=f"scan accumulate (L={L})"
-    )
+    buckets, t_batch = timeit(batch_all, pts_b, digits, name="one batch total")
 
     @jax.jit
     def full_buckets(points, scalar_words):
         return pippenger.accumulate_buckets(
-            points, scalar_words, window_size=w, n_chunks=C, chunk_len=L
+            points, scalar_words, window_size=w, n_chunks=C, chunk_len=L,
+            signed_digits=True,
         )
 
-    buckets, t_buckets = timeit(
-        full_buckets, pts_mont, sc, name="accumulate_buckets (all)"
+    buckets_all, t_buckets = timeit(
+        full_buckets, pts_niels, sc, name=f"accumulate_buckets ({n_batches} batches)"
     )
 
     reduce_jit = jax.jit(pippenger.reduce_buckets)
-    _, t_reduce = timeit(reduce_jit, buckets, name=f"reduce_buckets (2x{max((B-1).bit_length(),1)} lvls)")
+    _, t_reduce = timeit(reduce_jit, buckets_all, name="reduce_buckets")
 
     full = functools.partial(
-        pippenger.msm_window_sums, window_size=w, n_chunks=C, chunk_len=L
+        pippenger.msm_window_sums, window_size=w, n_chunks=C, chunk_len=L,
+        signed_digits=True,
     )
-    _, t_full = timeit(full, pts_mont, sc, name="full pipeline")
-    print(
-        f"sum of stages: {t_mont + t_sort + t_gather + t_buckets + t_reduce:.2f} ms"
-    )
+    _, t_full = timeit(full, pts_niels, sc, name="full pipeline")
+    post = t_batch - t_split - t_sort - t_gather - t_scan
+    print(f"  combine+hist+assemble (batch residual): {post:.2f} ms")
+    print(f"sum: to_niels + buckets + reduce = "
+          f"{t_niels + t_buckets + t_reduce:.2f} ms vs full {t_full:.2f} ms")
+    print(f"throughput (full): {n / t_full * 1000 / 1e6:.3f} M points/s")
 
 
 if __name__ == "__main__":

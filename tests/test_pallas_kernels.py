@@ -68,6 +68,29 @@ def test_padd_masked_kernel():
         assert (g.x, g.y, g.t, g.z) == (w.x, w.y, w.t, w.z)
 
 
+def test_grouped_running_sum_kernel():
+    """T = sum_r s[r], U = sum_r r*s[r] per lane (bucket-reduction core)."""
+    Gs = 3
+    base = fixtures.distinct_points(2 * Gs, seed=96)
+    slices, full = [], []
+    for r in range(Gs):
+        st, pts = pts_to_stacked(base[2 * r : 2 * r + 2])
+        slices.append(st)
+        full.append(pts)
+    s = jnp.stack(slices)  # [Gs, 4, 16, W]
+    T, U = pk.grouped_running_sum(s)
+    t_pts = stacked_to_pts(T)[:4]
+    u_pts = stacked_to_pts(U)[:4]
+    for i in range(4):
+        t_exp = oc.IDENTITY
+        u_exp = oc.IDENTITY
+        for r in range(Gs):
+            t_exp = oc.add(t_exp, full[r][i])
+            u_exp = oc.add(u_exp, oc.scalar_mul(full[r][i], r))
+        assert oc.to_affine(t_pts[i]) == oc.to_affine(t_exp), f"T lane {i}"
+        assert oc.to_affine(u_pts[i]) == oc.to_affine(u_exp), f"U lane {i}"
+
+
 def test_scan_step_kernel():
     accs = [oc.double(p) for p in fixtures.distinct_points(4, seed=94)]
     fresh = fixtures.distinct_points(4, seed=95)

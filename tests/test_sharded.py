@@ -24,11 +24,10 @@ from webgpu_msm_tpu.parallel import default_mesh, msm_window_sums_sharded
 from webgpu_msm_tpu.utils import fixtures
 
 
-def _to_mont_stacked(planes):
-    arr = jnp.asarray(planes)
-    return jnp.stack(
-        [limbs.stack(field_ops.to_mont(limbs.unstack(arr[i]))) for i in range(3)]
-    )
+def _to_niels_stacked(planes):
+    from webgpu_msm_tpu.ops import curve_ops
+
+    return curve_ops.to_niels_planes(jnp.asarray(planes))
 
 
 def _decode(wsums, w):
@@ -56,7 +55,7 @@ def test_sharded_msm_matches_oracle(mode):
     words = marshal_scalars(scalars, n)
     mesh = default_mesh(D)
     wsums = msm_window_sums_sharded(
-        _to_mont_stacked(planes),
+        _to_niels_stacked(planes),
         jnp.asarray(words),
         window_size=W,
         n_chunks=C,

@@ -29,20 +29,17 @@ from ..utils import convert
 def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len,
                 signed_digits=False):
     """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
+    from ..ops import curve_ops
+
     n = points_plain.shape[-1]
     if jax.default_backend() == "tpu" and n % 1024 == 0:
         from ..ops.pallas import padd_kernels
 
-        pts_mont = padd_kernels.to_mont(points_plain)
+        pts_niels = padd_kernels.to_niels(points_plain)
     else:
-        pts_mont = jnp.stack(
-            [
-                limbs.stack(field_ops.to_mont(limbs.unstack(points_plain[i])))
-                for i in range(3)
-            ]
-        )
+        pts_niels = curve_ops.to_niels_planes(points_plain)
     wsums_mont = pippenger.accumulate_and_reduce(
-        pts_mont,
+        pts_niels,
         scalar_words,
         window_size=window_size,
         n_chunks=n_chunks,

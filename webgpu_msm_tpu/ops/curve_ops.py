@@ -60,41 +60,62 @@ def identity(shape=()) -> PointVec:
 
 
 def add(p1: PointVec, p2: PointVec) -> PointVec:
-    """Unified addition (curve.wgsl:36-63); complete on the subgroup."""
-    a = mont_mul(p1.x, p2.x)
-    b = mont_mul(p1.y, p2.y)
-    tt = mont_mul(p1.t, p2.t)
-    c = mul_plain_const(tt, EDWARDS_D)
-    d = mont_mul(p1.z, p2.z)
-    e = field_sub(
-        mont_mul(field_add(p1.x, p1.y), field_add(p2.x, p2.y)),
-        field_add(a, b),
-    )
-    f = field_sub(d, c)
-    g = field_add(d, c)
-    h = field_add(b, a)  # B - a*A, a = -1
-    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+    """Unified addition (add-2008-hwcd-3, a = -1); complete on the subgroup.
 
-
-def add_mixed(p1: PointVec, p2_x, p2_y, p2_t) -> PointVec:
-    """p1 + p2 where p2.z == 1 (Montgomery R): saves the Z1*Z2 multiply.
-
-    Input points arrive in extended affine form (z = 1, README.md:66-96), so
-    the bucket-accumulation inner loop always takes this path.
-    """
-    a = mont_mul(p1.x, p2_x)
-    b = mont_mul(p1.y, p2_y)
-    tt = mont_mul(p1.t, p2_t)
-    c = mul_plain_const(tt, EDWARDS_D)
-    d = p1.z  # Z1 * 1
-    e = field_sub(
-        mont_mul(field_add(p1.x, p1.y), field_add(p2_x, p2_y)),
-        field_add(a, b),
-    )
+    Same group law as curve.wgsl:36-63, one fewer multiply (8 + one
+    constant multiply by 2d)."""
+    a = mont_mul(field_sub(p1.y, p1.x), field_sub(p2.y, p2.x))
+    b = mont_mul(field_add(p1.y, p1.x), field_add(p2.y, p2.x))
+    c = mul_plain_const(mont_mul(p1.t, p2.t), 2 * EDWARDS_D)
+    zz = mont_mul(p1.z, p2.z)
+    d = field_add(zz, zz)
+    e = field_sub(b, a)
     f = field_sub(d, c)
     g = field_add(d, c)
     h = field_add(b, a)
     return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def add_mixed(p1: PointVec, p2_x, p2_y, p2_t) -> PointVec:
+    """p1 + p2 where p2.z == 1 (Montgomery R): saves the Z1*Z2 multiply."""
+    a = mont_mul(field_sub(p1.y, p1.x), field_sub(p2_y, p2_x))
+    b = mont_mul(field_add(p1.y, p1.x), field_add(p2_y, p2_x))
+    c = mul_plain_const(mont_mul(p1.t, p2_t), 2 * EDWARDS_D)
+    d = field_add(p1.z, p1.z)  # 2 * Z1 * 1
+    e = field_sub(b, a)
+    f = field_sub(d, c)
+    g = field_add(d, c)
+    h = field_add(b, a)
+    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def add_niels(p1: PointVec, ym2, yp2, td2) -> PointVec:
+    """p1 + p2 with p2 in precomputed Niels form (y-x, y+x, 2d*t; z == 1).
+
+    7 multiplies — the bucket-accumulation hot path. The Niels transform is
+    applied once per input point (to_niels), amortized over all K windows.
+    """
+    a = mont_mul(field_sub(p1.y, p1.x), ym2)
+    b = mont_mul(field_add(p1.y, p1.x), yp2)
+    c = mont_mul(p1.t, td2)
+    d = field_add(p1.z, p1.z)
+    e = field_sub(b, a)
+    f = field_sub(d, c)
+    g = field_add(d, c)
+    h = field_add(b, a)
+    return PointVec(mont_mul(e, f), mont_mul(g, h), mont_mul(e, h), mont_mul(f, g))
+
+
+def to_niels_planes(points_plain: jnp.ndarray) -> jnp.ndarray:
+    """[3, 16, n] plain (x, y, t) digit planes -> [3, 16, n] Montgomery
+    Niels planes (y-x, y+x, 2d*t) — the accumulation input format."""
+    x = field_ops.to_mont(limbs.unstack(points_plain[0]))
+    y = field_ops.to_mont(limbs.unstack(points_plain[1]))
+    t = field_ops.to_mont(limbs.unstack(points_plain[2]))
+    ym = field_sub(y, x)
+    yp = field_add(y, x)
+    td = mul_plain_const(t, 2 * EDWARDS_D)
+    return jnp.stack([limbs.stack(ym), limbs.stack(yp), limbs.stack(td)])
 
 
 def double(p: PointVec) -> PointVec:

@@ -186,5 +186,12 @@ def kmul_d(a: Sequence) -> list:
     return kmont_mul_const(a, (EDWARDS_D * R_CONST) % P)
 
 
+def kmul_2d(a: Sequence) -> list:
+    """a * 2*EDWARDS_D in the Montgomery domain (hwcd-3 constant)."""
+    from ...oracle.field import EDWARDS_D
+
+    return kmont_mul_const(a, (2 * EDWARDS_D * R_CONST) % P)
+
+
 def kselect(mask, a: Sequence, b: Sequence) -> list:
     return [jnp.where(mask, x, y) for x, y in zip(a, b)]

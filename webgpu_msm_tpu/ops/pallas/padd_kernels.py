@@ -38,20 +38,43 @@ def _interpret() -> bool:
 
 
 def _unified_add(p1c, p2c, mul=None):
-    """add-2008-hwcd (a=-1) on digit-list coordinate tuples (curve.wgsl:36-63).
+    """add-2008-hwcd-3 (a=-1) on digit-list coordinate tuples.
 
+    Same group law as the reference's curve.wgsl:36-63, one fewer multiply.
     `mul` selects the Montgomery-product engine (default CIOS on the VPU;
     the scan kernel passes the MXU-REDC variant when enabled)."""
     if mul is None:
         mul = fk.kmont_mul
     x1, y1, t1, z1 = p1c
     x2, y2, t2, z2 = p2c
-    a = mul(x1, x2)
-    b = mul(y1, y2)
-    tt = mul(t1, t2)
-    c = fk.kmul_d(tt)
-    d = mul(z1, z2) if z2 is not None else z1
-    e = fk.ksub(mul(fk.kadd(x1, y1), fk.kadd(x2, y2)), fk.kadd(a, b))
+    a = mul(fk.ksub(y1, x1), fk.ksub(y2, x2))
+    b = mul(fk.kadd(y1, x1), fk.kadd(y2, x2))
+    c = fk.kmul_2d(mul(t1, t2))
+    zz = mul(z1, z2) if z2 is not None else z1
+    d = fk.kadd(zz, zz)
+    e = fk.ksub(b, a)
+    f = fk.ksub(d, c)
+    g = fk.kadd(d, c)
+    h = fk.kadd(b, a)
+    return (
+        mul(e, f),
+        mul(g, h),
+        mul(e, h),
+        mul(f, g),
+    )
+
+
+def _niels_add(p1c, niels, mul=None):
+    """p1 + p2 with p2 in Niels form (y-x, y+x, 2d*t; z == 1): 7 multiplies."""
+    if mul is None:
+        mul = fk.kmont_mul
+    x1, y1, t1, z1 = p1c
+    ym2, yp2, td2 = niels
+    a = mul(fk.ksub(y1, x1), ym2)
+    b = mul(fk.kadd(y1, x1), yp2)
+    c = mul(t1, td2)
+    d = fk.kadd(z1, z1)
+    e = fk.ksub(b, a)
     f = fk.ksub(d, c)
     g = fk.kadd(d, c)
     h = fk.kadd(b, a)
@@ -207,19 +230,27 @@ def _accumulate_scan_kernel(*refs, use_mxu=False):
     # id is the bucket alone — a sign change must NOT split a bucket's run.
     ids = raw & 0x7FFFFFFF
     sgn = raw >> 31
-    p = pts_ref[...]
-    px = [p[0, d] for d in range(16)]
-    py = [p[1, d] for d in range(16)]
-    pt = [p[2, d] for d in range(16)]
+    p = pts_ref[...]  # Niels planes: (y-x, y+x, 2d*t)
+    ym0 = [p[0, d] for d in range(16)]
+    yp0 = [p[1, d] for d in range(16)]
+    td0 = [p[2, d] for d in range(16)]
     neg = sgn == 1
-    px = fk.kselect(neg, fk.kneg(px), px)
-    pt = fk.kselect(neg, fk.kneg(pt), pt)
+    # Negation in Niels form: swap (y-x) <-> (y+x), negate 2d*t.
+    ym = fk.kselect(neg, yp0, ym0)
+    yp = fk.kselect(neg, ym0, yp0)
+    td = fk.kselect(neg, fk.kneg(td0), td0)
     one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
+    zero = fk.digits_const(0, acc_id.shape)
 
+    # Run boundary: reset the accumulator to the identity, then always add
+    # (identity + P = P projectively) — the incoming point never needs its
+    # extended coordinates reconstructed from Niels form.
     same = ids == acc_id
-    added = _unified_add(acc, (px, py, pt, None), mul=mul)
-    fresh = (px, py, pt, one)
-    new_acc = tuple(fk.kselect(same, s, f) for s, f in zip(added, fresh))
+    accx = fk.kselect(same, acc[0], zero)
+    accy = fk.kselect(same, acc[1], one)
+    acct = fk.kselect(same, acc[2], zero)
+    accz = fk.kselect(same, acc[3], one)
+    new_acc = _niels_add((accx, accy, acct, accz), (ym, yp, td), mul=mul)
 
     staged_ref[...] = acc_ref[...]  # pre-update acc = flush candidate
     new_st = _stack_coords(new_acc)
@@ -317,6 +348,90 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
     )
 
 
+def _grouped_sum_kernel(s_ref, t_ref, u_ref, run_ref, u_acc_ref):
+    """One (width-block, step) cell of the grouped running sum.
+
+    Grid = (n_width_blocks, Gs); step i streams slice r = Gs-1-i of the
+    [Gs, 4, 16, W] bucket array (the index_map reverses). Scratch carries
+    running = sum_{r' >= r} s[r'] and U = sum of the running values; after
+    the last step (r = 0):  T = running (+s[0]),  U = sum_{r>=1} prefix —
+    exactly the fori_loop in ops/pippenger.reduce_buckets, in ONE kernel
+    launch instead of 2 launches + a strided HBM slice per step."""
+    i = pl.program_id(1)
+    s = _coords(s_ref[...])
+
+    @pl.when(i == 0)
+    def _():
+        one = fk.digits_const(fk.R_MOD_P, run_ref.shape[2:])
+        zero = jnp.zeros(run_ref.shape[2:], dtype=jnp.uint32)
+        for d in range(16):
+            run_ref[0, d] = zero
+            run_ref[1, d] = one[d]
+            run_ref[2, d] = zero
+            run_ref[3, d] = one[d]
+            u_acc_ref[0, d] = zero
+            u_acc_ref[1, d] = one[d]
+            u_acc_ref[2, d] = zero
+            u_acc_ref[3, d] = one[d]
+
+    run = _unified_add(_coords(run_ref[...]), s)
+    run_st = _stack_coords(run)
+    run_ref[...] = run_st
+
+    last = i == pl.num_programs(1) - 1
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        u_acc_ref[...] = _stack_coords(_unified_add(_coords(u_acc_ref[...]), run))
+
+    @pl.when(last)
+    def _():
+        t_ref[...] = run_st
+        u_ref[...] = u_acc_ref[...]
+
+
+def grouped_running_sum(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused grouped running sum for the bucket reduction.
+
+    s: [Gs, 4, 16, W] stacked points, group element r = s[r] (W lanes of
+    independent groups; pad with identity points). Returns (T, U) [4,16,W]:
+    T = sum_r s[r],  U = sum_{k=1..Gs-1} sum_{r>=k} s[r]
+      = sum_r r * s[r]  (the within-group weighted sum).
+    """
+    Gs, _, _, W = s.shape
+    rows = W // LANES
+    block_rows = 16 if rows % 16 == 0 else SUBLANES
+    assert W % (block_rows * LANES) == 0, (W, block_rows)
+    n_wb = rows // block_rows
+    s5 = s.reshape(Gs, 4, 16, rows, LANES)
+    out_spec = pl.BlockSpec(
+        (4, 16, block_rows, LANES), lambda wb, i: (0, 0, wb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    t, u = pl.pallas_call(
+        _grouped_sum_kernel,
+        grid=(n_wb, Gs),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 4, 16, block_rows, LANES),
+                lambda wb, i: (Gs - 1 - i, 0, 0, wb, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
+        ),
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((4, 16, block_rows, LANES), jnp.uint32),
+            pltpu.VMEM((4, 16, block_rows, LANES), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(s5)
+    return t.reshape(4, 16, W), u.reshape(4, 16, W)
+
+
 def _to_mont_kernel(pts_ref, o_ref):
     from ...oracle.field import R2_MOD_P
 
@@ -328,8 +443,25 @@ def _to_mont_kernel(pts_ref, o_ref):
             o_ref[c, d] = out[d]
 
 
-def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
-    """Plain -> Montgomery domain over stacked [n_coords, 16, W] coords."""
+def _to_niels_kernel(pts_ref, o_ref):
+    """Plain (x, y, t) -> Montgomery Niels (y-x, y+x, 2d*t)."""
+    from ...oracle.field import EDWARDS_D, R2_MOD_P
+    from .field_kernels import R_CONST, P
+
+    x = fk.kmont_mul_const([pts_ref[0, d] for d in range(16)], R2_MOD_P)
+    y = fk.kmont_mul_const([pts_ref[1, d] for d in range(16)], R2_MOD_P)
+    t = [pts_ref[2, d] for d in range(16)]
+    ym = fk.ksub(y, x)
+    yp = fk.kadd(y, x)
+    # t (plain) * (2d * R^2) * R^-1 = 2d*t*R: one fused constant multiply.
+    td = fk.kmont_mul_const(t, (2 * EDWARDS_D * R2_MOD_P) % P)
+    for d in range(16):
+        o_ref[0, d] = ym[d]
+        o_ref[1, d] = yp[d]
+        o_ref[2, d] = td[d]
+
+
+def _coordwise_call(kernel, pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
     n_coords = pts_st.shape[0]
     W = pts_st.shape[-1]
     rows = W // LANES
@@ -342,7 +474,7 @@ def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        _to_mont_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n_coords, 16, rows, LANES), jnp.uint32),
         grid=(rows // block_rows,),
         in_specs=[spec],
@@ -350,6 +482,16 @@ def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
         interpret=_interpret(),
     )(pts_st.reshape(n_coords, 16, rows, LANES))
     return out.reshape(pts_st.shape)
+
+
+def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
+    """Plain -> Montgomery domain over stacked [n_coords, 16, W] coords."""
+    return _coordwise_call(_to_mont_kernel, pts_st, block_rows)
+
+
+def to_niels(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
+    """Plain (x, y, t) [3, 16, W] -> Montgomery Niels (y-x, y+x, 2d*t)."""
+    return _coordwise_call(_to_niels_kernel, pts_st, block_rows)
 
 
 def scan_step(acc_st, acc_id, pts_st, ids):

@@ -126,7 +126,7 @@ def _vadd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp
 
 
 def accumulate_buckets(
-    points: jnp.ndarray,  # [3, 16, n] uint32: x, y, t digit planes (Montgomery)
+    points: jnp.ndarray,  # [3, 16, n] uint32 Montgomery NIELS planes (y-x, y+x, 2d*t)
     scalar_words: jnp.ndarray,  # [8, n] uint32 LE words
     *,
     window_size: int,
@@ -199,21 +199,28 @@ def _accumulate_batch(
 
     # ---- sort each window's digits; gather points into sorted order ----
     # Sort key = bucket id only (bit 31 is the sign flag and must not split
-    # a bucket's run); the packed value travels through the sort.
+    # a bucket's run). One multi-operand sort carries the packed value and
+    # the permutation — no post-sort take_along_axis gathers (those cost
+    # ~200 ms at 2^20: XLA gathers on digit-planar layouts are slow).
     keys = digits & jnp.uint32(0x7FFFFFFF)
-    perm = jnp.argsort(keys, axis=1)  # [K, n]
-    sorted_packed = jnp.take_along_axis(digits, perm, axis=1)  # [K, n]
+    iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
+    _, sorted_packed, perm = jax.lax.sort(
+        (keys, digits, iota), dimension=1, num_keys=1
+    )
     sorted_digits = sorted_packed & jnp.uint32(0x7FFFFFFF)
 
     # xs layout: step-major [L, K, C]; lane (k, c) scans positions c*L + j.
     perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))  # [L, K, C]
     ids_lkc = jnp.transpose(sorted_packed.reshape(K, C, L), (2, 0, 1))
 
-    # Gather sorted points once: [3, 16, L, K, C] — already the scan
-    # kernel's input layout, no relayout pass.
-    sorted_pts = jnp.take(points, perm_lkc.reshape(-1), axis=-1).reshape(
-        3, 16, L, K, C
-    )
+    # Gather sorted points in point-major row layout (each gather reads 192
+    # contiguous bytes — ~3x the throughput of digit-planar gathers), then
+    # relayout to the scan kernel's planar input.
+    pts_rows = points.reshape(48, n).T  # [n, 48]
+    rows = jnp.take(pts_rows, perm_lkc.reshape(-1), axis=0)  # [L*K*C, 48]
+    sorted_pts = jnp.transpose(
+        rows.reshape(L, K, C, 3, 16), (3, 4, 0, 1, 2)
+    )  # [3, 16, L, K, C]
 
     zero = jnp.zeros((K, C), dtype=jnp.uint32)
     one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
@@ -236,19 +243,21 @@ def _accumulate_batch(
 
         def scan_body(carry, xs):
             acc_st, acc_id = carry  # [4, 16, K, C], [K, C]
-            pts_j, raw_j = xs  # [3, 16, K, C], [K, C]
+            pts_j, raw_j = xs  # [3, 16, K, C] Niels planes, [K, C]
             ids_j = raw_j & jnp.uint32(0x7FFFFFFF)
             neg = (raw_j >> 31) == 1
             acc = PointVec.from_stacked(acc_st)
-            px = limbs.unstack(pts_j[0])
-            py = limbs.unstack(pts_j[1])
-            pt = limbs.unstack(pts_j[2])
-            px = limbs.select(neg, field_ops.field_neg(px), px)
-            pt = limbs.select(neg, field_ops.field_neg(pt), pt)
+            ym0 = limbs.unstack(pts_j[0])
+            yp0 = limbs.unstack(pts_j[1])
+            td0 = limbs.unstack(pts_j[2])
+            # Negation in Niels form: swap (y-x) <-> (y+x), negate 2d*t.
+            ym = limbs.select(neg, yp0, ym0)
+            yp = limbs.select(neg, ym0, yp0)
+            td = limbs.select(neg, field_ops.field_neg(td0), td0)
             same = ids_j == acc_id
-            added = curve_ops.add_mixed(acc, px, py, pt)
-            fresh = PointVec(px, py, pt, one_mont)
-            new_acc = curve_ops.select(same, added, fresh)
+            # Run boundary: reset acc to identity, then always add.
+            acc_or_id = curve_ops.select(same, acc, id_pt)
+            new_acc = curve_ops.add_niels(acc_or_id, ym, yp, td)
             # Emit the pre-update acc: where a new run starts at step j, this
             # is the completed run ending at position j-1 (the "flush").
             new_carry = (new_acc.stacked(), ids_j)
@@ -279,11 +288,26 @@ def _accumulate_batch(
     # [4, 16, K, C]; at the last lane of each equal-id segment: segment total.
 
     # ---- per-bucket combine via analytic positions ----
-    # Bucket boundary positions from a scatter-add histogram + cumsum
-    # (5x faster than binary-searching every bucket value on TPU).
-    hist = jnp.zeros((K, B), jnp.int32)
-    kk = jax.lax.broadcasted_iota(jnp.int32, sorted_digits.shape, 0)
-    hist = hist.at[kk, sorted_digits.astype(jnp.int32)].add(1)
+    # Bucket histogram on the MXU: split the bucket id into (hi, lo) bytes
+    # and contract two one-hot matrices — counts are exact in f32 (0/1
+    # products, sums <= n < 2^24). Beats both per-element scatter-add
+    # (~180 ms at 2^20) and per-bucket binary search.
+    HI = -(-B // 256)
+    lo_oh = (
+        (sorted_digits & 0xFF)[:, :, None]
+        == jnp.arange(256, dtype=jnp.uint32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    hi_oh = (
+        (sorted_digits >> 8)[:, :, None]
+        == jnp.arange(HI, dtype=jnp.uint32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    cnt = jax.lax.dot_general(
+        hi_oh,
+        lo_oh,
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [K, HI, 256]
+    hist = cnt.reshape(K, HI * 256)[:, :B].astype(jnp.int32)
     e_pos = jnp.cumsum(hist, axis=1)  # [K, B]: first index past bucket b
     s_pos = e_pos - hist
 
@@ -394,18 +418,35 @@ def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray
         return _suffix_weighted(bucket_sums)
 
     s = bucket_sums.reshape(4, 16, K, G, Gs)
-    id_kg = curve_ops.identity((K, G)).stacked()
+    if _use_pallas(K * G):
+        # Fused Pallas grouped scan: one kernel launch for all Gs steps
+        # (vs 2 launches + a strided HBM slice per step in the fallback).
+        from .pallas import padd_kernels
 
-    def body(i, carry):
-        running_st, u_st = carry
-        r = Gs - 1 - i  # r runs Gs-1 .. 1
-        s_r = lax.dynamic_index_in_dim(s, r, axis=4, keepdims=False)
-        run = _vadd(running_st, s_r)
-        u = _vadd(u_st, run)
-        return run, u
+        W2 = -(-(K * G) // 1024) * 1024
+        s_flat = jnp.transpose(s.reshape(4, 16, K * G, Gs), (3, 0, 1, 2))
+        if W2 != K * G:
+            pad = jnp.broadcast_to(
+                curve_ops.identity(()).stacked()[None, :, :, None],
+                (Gs, 4, 16, W2 - K * G),
+            )
+            s_flat = jnp.concatenate([s_flat, pad], axis=-1)
+        T_flat, U_flat = padd_kernels.grouped_running_sum(s_flat)
+        T = T_flat[..., : K * G].reshape(4, 16, K, G)
+        U = U_flat[..., : K * G].reshape(4, 16, K, G)
+    else:
+        id_kg = curve_ops.identity((K, G)).stacked()
 
-    running, U = lax.fori_loop(0, Gs - 1, body, (id_kg, id_kg))
-    T = _vadd(running, s[..., 0])  # [4, 16, K, G]
+        def body(i, carry):
+            running_st, u_st = carry
+            r = Gs - 1 - i  # r runs Gs-1 .. 1
+            s_r = lax.dynamic_index_in_dim(s, r, axis=4, keepdims=False)
+            run = _vadd(running_st, s_r)
+            u = _vadd(u_st, run)
+            return run, u
+
+        running, U = lax.fori_loop(0, Gs - 1, body, (id_kg, id_kg))
+        T = _vadd(running, s[..., 0])  # [4, 16, K, G]
 
     V = _suffix_weighted(T)  # sum_g g * T_g, [4, 16, K]
     V = lax.fori_loop(  # * Gs (power of two): one double graph, log2 Gs iters

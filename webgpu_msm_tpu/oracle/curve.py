@@ -40,19 +40,22 @@ def to_affine(p: ExtPoint) -> tuple[int, int]:
 
 
 def add(p1: ExtPoint, p2: ExtPoint) -> ExtPoint:
-    """Unified extended twisted Edwards addition (a = -1, add-2008-hwcd).
+    """Unified extended twisted Edwards addition (a = -1, add-2008-hwcd-3).
 
     Complete on the prime-order subgroup; also valid for p1 == p2 and the
-    identity. Mirrors curve.wgsl:36-63.
+    identity. Same group law as the reference's curve.wgsl:36-63, in the
+    hwcd-3 arrangement (one fewer multiply; the form the device kernels
+    use, so kernel tests can compare coordinates exactly).
     """
-    a = fmul(p1.x, p2.x)
-    b = fmul(p1.y, p2.y)
-    c = fmul(EDWARDS_D, fmul(p1.t, p2.t))
-    d = fmul(p1.z, p2.z)
-    e = fsub(fmul(fadd(p1.x, p1.y), fadd(p2.x, p2.y)), fadd(a, b))
+    a = fmul(fsub(p1.y, p1.x), fsub(p2.y, p2.x))
+    b = fmul(fadd(p1.y, p1.x), fadd(p2.y, p2.x))
+    c = fmul(2 * EDWARDS_D, fmul(p1.t, p2.t))
+    zz = fmul(p1.z, p2.z)
+    d = fadd(zz, zz)
+    e = fsub(b, a)
     f = fsub(d, c)
     g = fadd(d, c)
-    h = fadd(b, a)  # B - a*A with a = -1
+    h = fadd(b, a)
     return ExtPoint(fmul(e, f), fmul(g, h), fmul(e, h), fmul(f, g))
 
 

@@ -81,7 +81,7 @@ def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode):
     static_argnames=("window_size", "n_chunks", "chunk_len", "mesh", "mode"),
 )
 def msm_window_sums_sharded(
-    points: jnp.ndarray,  # [3, 16, n_global] uint32 Montgomery digit planes
+    points: jnp.ndarray,  # [3, 16, n_global] uint32 Montgomery NIELS planes
     scalar_words: jnp.ndarray,  # [8, n_global] uint32 LE
     *,
     window_size: int,
