@@ -85,9 +85,10 @@ def measure_device(n_pow: int, iters: int, window: int | None):
     # NB: on the tunneled TPU platform block_until_ready() can return before
     # the device finishes; a host fetch of the (tiny, [4,16,K]) output is the
     # reliable fence. Measure the fetch/latency floor and subtract it.
+    signed = cfg.signed_digits  # build_inputs masks scalars < 2^253
     t0 = time.perf_counter()
     out = tpu_engine._device_msm(
-        pts, sc, window_size=w, n_chunks=C, chunk_len=L
+        pts, sc, window_size=w, n_chunks=C, chunk_len=L, signed_digits=signed
     )
     np.asarray(out)
     compile_s = time.perf_counter() - t0
@@ -106,7 +107,7 @@ def measure_device(n_pow: int, iters: int, window: int | None):
     for _ in range(iters):
         t0 = time.perf_counter()
         out = tpu_engine._device_msm(
-            pts, sc, window_size=w, n_chunks=C, chunk_len=L
+            pts, sc, window_size=w, n_chunks=C, chunk_len=L, signed_digits=signed
         )
         np.asarray(out)
         times.append(max(time.perf_counter() - t0 - latency_s, 1e-9))

@@ -38,9 +38,9 @@ def main():
     L, W = 128, 40960  # production shape at 2^20, w=13
     key = jax.random.PRNGKey(0)
     pts = jax.random.randint(
-        key, (3, 16, L, W), 0, 1 << 16, dtype=jnp.int32
+        key, (3, 8, L, W), 0, 1 << 31, dtype=jnp.int32
     ).astype(jnp.uint32)
-    pts = pts.at[:, 15].set(0)  # < 2^240 < p
+    pts = pts.at[:, 7].set(pts[:, 7] & 0xFFFF)  # < 2^240 < p (packed digits)
     ids = jax.random.randint(
         jax.random.PRNGKey(1), (L, W), 0, 4096, dtype=jnp.int32
     ).astype(jnp.uint32)

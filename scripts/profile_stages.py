@@ -1,10 +1,8 @@
 """Stage-level timing of the production MSM pipeline on the current backend.
 
-Times each phase of ops/pippenger.py separately (jitted in isolation) to show
-where device time goes: to_niels, window split + sort, point gather, fused
-accumulation scan, lane combine + histogram + bucket assembly, bucket
-reduction. Matches the production path (signed digits, batching) so numbers
-add up to the full pipeline.
+Isolated-stage timings overlap under XLA fusion — use scripts/profile_ablate.py
+for trustworthy marginal attribution; this script gives the coarse picture
+plus the full-pipeline number.
 """
 import argparse
 import functools
@@ -17,7 +15,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from webgpu_msm_tpu.utils.cache import enable_compilation_cache
 
@@ -36,13 +33,13 @@ def _sync(out):
 def timeit(fn, *args, iters=3, name=""):
     out = fn(*args)
     _sync(out)
-    times = []
+    ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
         _sync(out)
-        times.append(time.perf_counter() - t0)
-    ms = np.median(times) * 1000
+        ts.append(time.perf_counter() - t0)
+    ms = np.median(ts) * 1000
     print(f"{name:36s} {ms:9.2f} ms")
     return out, ms
 
@@ -78,59 +75,6 @@ def main():
         to_niels = jax.jit(curve_ops.to_niels_planes)
     pts_niels, t_niels = timeit(to_niels, pts, name="to_niels")
 
-    # Per-batch stages (first batch only; whole pipeline scales ~linearly).
-    pts_b = pts_niels[..., :M]
-    sc_b = sc[..., :M]
-
-    @jax.jit
-    def split(scalar_words):
-        buckets, sgn = windows.split_windows_signed(scalar_words, w)
-        return buckets | (sgn << 31)
-
-    digits, t_split = timeit(split, sc_b, name="window split (signed)")
-
-    @jax.jit
-    def sort(digits):
-        keys = digits & jnp.uint32(0x7FFFFFFF)
-        iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
-        _, sorted_packed, perm = jax.lax.sort(
-            (keys, digits, iota), dimension=1, num_keys=1
-        )
-        return sorted_packed, perm
-
-    (sorted_packed, perm), t_sort = timeit(sort, digits, name="sort (3-operand)")
-
-    @jax.jit
-    def gather(points, perm):
-        perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))
-        pts_rows = points.reshape(48, M).T
-        rows = jnp.take(pts_rows, perm_lkc.reshape(-1), axis=0)
-        return jnp.transpose(rows.reshape(L, K, C, 3, 16), (3, 4, 0, 1, 2))
-
-    sorted_pts, t_gather = timeit(gather, pts_b, perm, name="gather sorted points")
-
-    ids_lkc = jnp.transpose(sorted_packed.reshape(K, C, L), (2, 0, 1))
-    W = K * C
-
-    if on_tpu and W % 1024 == 0:
-        from webgpu_msm_tpu.ops.pallas import padd_kernels
-
-        @jax.jit
-        def scan(sorted_pts, ids_lkc):
-            return padd_kernels.accumulate_scan(
-                sorted_pts.reshape(3, 16, L, W), ids_lkc.reshape(L, W)
-            )
-
-        _, t_scan = timeit(scan, sorted_pts, ids_lkc, name=f"fused scan (L={L}, W={W})")
-    else:
-        t_scan = float("nan")
-
-    @jax.jit
-    def batch_all(points, digits):
-        return pippenger._accumulate_batch(points, digits, w, C, L, B)
-
-    buckets, t_batch = timeit(batch_all, pts_b, digits, name="one batch total")
-
     @jax.jit
     def full_buckets(points, scalar_words):
         return pippenger.accumulate_buckets(
@@ -150,10 +94,6 @@ def main():
         signed_digits=True,
     )
     _, t_full = timeit(full, pts_niels, sc, name="full pipeline")
-    post = t_batch - t_split - t_sort - t_gather - t_scan
-    print(f"  combine+hist+assemble (batch residual): {post:.2f} ms")
-    print(f"sum: to_niels + buckets + reduce = "
-          f"{t_niels + t_buckets + t_reduce:.2f} ms vs full {t_full:.2f} ms")
     print(f"throughput (full): {n / t_full * 1000 / 1e6:.3f} M points/s")
 
 

@@ -32,11 +32,11 @@ def best_window_size_signed(n_points: int) -> int:
 
     Signed digits halve the bucket range (|digit| <= 2^(w-1)), which halves
     the bucket-reduction and histogram cost at the same w. Larger windows
-    were swept at 2^20 on v5e (bench.py --window): w=13 1.155M pts/s,
-    w=14 1.130M, w=15 1.041M, w=16 0.964M — the accumulation scan dominates
-    and its cost tracks K = ceil(256/w) only weakly beyond w=13, while the
-    B-proportional costs (histogram, bucket assembly, reduction) double per
-    +1. The unsigned auto rule stays optimal."""
+    were swept at 2^20 on v5e (bench.py --window, packed-gather pipeline):
+    w=13 2.19M pts/s, w=14 2.15M, w=15 2.07M, w=16 2.00M — the K-
+    proportional costs (gather, scan, sort) shrink slowly past w=13 while
+    the B-proportional costs (histogram, bucket assembly, reduction)
+    double per +1. The unsigned auto rule stays optimal."""
     return best_window_size(n_points)
 
 

@@ -230,10 +230,13 @@ def _accumulate_scan_kernel(*refs, use_mxu=False):
     # id is the bucket alone — a sign change must NOT split a bucket's run.
     ids = raw & 0x7FFFFFFF
     sgn = raw >> 31
-    p = pts_ref[...]  # Niels planes: (y-x, y+x, 2d*t)
-    ym0 = [p[0, d] for d in range(16)]
-    yp0 = [p[1, d] for d in range(16)]
-    td0 = [p[2, d] for d in range(16)]
+    p = pts_ref[...]  # packed Niels planes [3, 8]: (y-x, y+x, 2d*t)
+    ym0, yp0, td0 = [], [], []
+    for c, dst in ((0, ym0), (1, yp0), (2, td0)):
+        for q in range(8):
+            v = p[c, q]
+            dst.append(v & 0xFFFF)
+            dst.append(v >> 16)
     neg = sgn == 1
     # Negation in Niels form: swap (y-x) <-> (y+x), negate 2d*t.
     ym = fk.kselect(neg, yp0, ym0)
@@ -267,8 +270,9 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
                     use_mxu: bool = False):
     """Fused bucket-accumulation scan.
 
-    xs_pts [3, 16, L, W] Montgomery digit planes (sorted run order — the raw
-    gather layout, no host-side transpose needed), ids [L, W] bucket ids ->
+    xs_pts [3, 8, L, W] PACKED Montgomery Niels planes (two 16-bit digits
+    per u32, sorted run order — the layout the payload-carrying sort emits,
+    halving the HBM->VMEM stream), ids [L, W] bucket ids ->
     (final_acc [4,16,W], final_id [W], staged [4,16,L,W]) with semantics
     identical to the lax.scan version in ops/pippenger.py (staged[..., l, :]
     = pre-update accumulator at step l; the [4,16,L,W] layout is exactly
@@ -284,13 +288,13 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         block_rows = 16 if rows % 16 == 0 else SUBLANES
     assert W % (block_rows * LANES) == 0, (W, block_rows)
     n_wb = rows // block_rows
-    pts5 = xs_pts.reshape(3, 16, L, rows, LANES)
+    pts5 = xs_pts.reshape(3, 8, L, rows, LANES)
     ids3 = ids.reshape(L, rows, LANES)
 
     grid = (n_wb, L)
     in_specs = [
         pl.BlockSpec(
-            (3, 16, None, block_rows, LANES),
+            (3, 8, None, block_rows, LANES),
             lambda wb, l: (0, 0, l, wb, 0),
             memory_space=pltpu.VMEM,
         ),

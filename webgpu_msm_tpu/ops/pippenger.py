@@ -200,8 +200,10 @@ def _accumulate_batch(
     # ---- sort each window's digits; gather points into sorted order ----
     # Sort key = bucket id only (bit 31 is the sign flag and must not split
     # a bucket's run). One multi-operand sort carries the packed value and
-    # the permutation — no post-sort take_along_axis gathers (those cost
-    # ~200 ms at 2^20: XLA gathers on digit-planar layouts are slow).
+    # the permutation. (Carrying the full point payload through the sort —
+    # which would delete the gather — is blocked by an XLA:TPU compile
+    # pathology: a variadic sort with ~26 live operands compiles for >45
+    # min at these shapes, with or without optimization_barrier isolation.)
     keys = digits & jnp.uint32(0x7FFFFFFF)
     iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
     _, sorted_packed, perm = jax.lax.sort(
@@ -213,14 +215,16 @@ def _accumulate_batch(
     perm_lkc = jnp.transpose(perm.reshape(K, C, L), (2, 0, 1))  # [L, K, C]
     ids_lkc = jnp.transpose(sorted_packed.reshape(K, C, L), (2, 0, 1))
 
-    # Gather sorted points in point-major row layout (each gather reads 192
-    # contiguous bytes — ~3x the throughput of digit-planar gathers), then
-    # relayout to the scan kernel's planar input.
-    pts_rows = points.reshape(48, n).T  # [n, 48]
-    rows = jnp.take(pts_rows, perm_lkc.reshape(-1), axis=0)  # [L*K*C, 48]
-    sorted_pts = jnp.transpose(
-        rows.reshape(L, K, C, 3, 16), (3, 4, 0, 1, 2)
-    )  # [3, 16, L, K, C]
+    # Gather sorted points in PACKED point-major rows (24 u32 = two 16-bit
+    # digits per u32): gather cost is ~19 ns per row *independent of width*
+    # (measured 48 vs 8 u32 rows), so packing halves the relayout transpose
+    # and the scan kernel's HBM->VMEM stream for free; the kernel unpacks.
+    packed = points[:, 0::2] | (points[:, 1::2] << jnp.uint32(16))  # [3, 8, n]
+    pts_rows = packed.reshape(24, n).T  # [n, 24]
+    rows = jnp.take(pts_rows, perm_lkc.reshape(-1), axis=0)  # [L*K*C, 24]
+    sorted_pts_packed = jnp.transpose(
+        rows.reshape(L, K, C, 3, 8), (3, 4, 0, 1, 2)
+    )  # [3, 8, L, K, C]
 
     zero = jnp.zeros((K, C), dtype=jnp.uint32)
     one_mont = limbs.digits_of_int(R_MOD_P, (K, C))
@@ -233,12 +237,15 @@ def _accumulate_batch(
         from .pallas import padd_kernels
 
         facc, fid, staged = padd_kernels.accumulate_scan(
-            sorted_pts.reshape(3, 16, L, W), ids_lkc.reshape(L, W)
+            sorted_pts_packed.reshape(3, 8, L, W), ids_lkc.reshape(L, W)
         )
         final_acc_st = facc.reshape(4, 16, K, C)
         final_id = fid.reshape(K, C)
         staged_lkw = staged  # [4, 16, L, K*C] — bucket-combine layout
     else:
+        lo = sorted_pts_packed & jnp.uint32(0xFFFF)
+        hi = sorted_pts_packed >> jnp.uint32(16)
+        sorted_pts = jnp.stack([lo, hi], axis=2).reshape(3, 16, L, K, C)
         xs_pts = jnp.transpose(sorted_pts, (2, 0, 1, 3, 4))  # [L, 3, 16, K, C]
 
         def scan_body(carry, xs):
