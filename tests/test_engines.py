@@ -51,6 +51,15 @@ def test_hybrid_engine_split(case):
     assert (got.x, got.y) == want
 
 
+def test_naive_engine_matches_oracle():
+    """Naive double-and-add baseline row (naiveMSMEntry.ts analog)."""
+    pts = fixtures.distinct_points(8, seed=31)
+    scalars = fixtures.random_scalars(8, seed=32)
+    want = m.compute_msm(pts, scalars, engine="oracle")
+    got = m.compute_msm(pts, scalars, engine="naive")
+    assert (got.x, got.y) == (want.x, want.y)
+
+
 def test_point_add_affine_identity_cases():
     from webgpu_msm_tpu.engines import cpu_engine
 

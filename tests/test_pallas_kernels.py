@@ -91,6 +91,31 @@ def test_grouped_running_sum_kernel():
         assert oc.to_affine(u_pts[i]) == oc.to_affine(u_exp), f"U lane {i}"
 
 
+def test_fused_reduce_matches_fallback():
+    """TPU reduce_buckets path (two grouped-scan kernel passes) == fallback.
+
+    Compared as affine points: addition orders differ, so projective
+    coordinates legitimately diverge."""
+    import jax.numpy as jnp
+    from webgpu_msm_tpu.ops import pippenger
+
+    K, B = 2, 64
+    n = K * B
+    pts = fixtures.distinct_points(n, seed=97)
+    st, _ = pts_to_stacked(pts, width=n)
+    bs = st.reshape(4, 16, K, B)
+    ref = pippenger.reduce_buckets(bs, group_size=16)
+    orig = pippenger._use_pallas
+    pippenger._use_pallas = lambda n: True
+    try:
+        fused = pippenger.reduce_buckets(bs, group_size=16)
+    finally:
+        pippenger._use_pallas = orig
+    assert [oc.to_affine(p) for p in stacked_to_pts(ref)] == [
+        oc.to_affine(p) for p in stacked_to_pts(fused)
+    ]
+
+
 def test_scan_step_kernel():
     accs = [oc.double(p) for p in fixtures.distinct_points(4, seed=94)]
     fresh = fixtures.distinct_points(4, seed=95)

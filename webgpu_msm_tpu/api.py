@@ -84,7 +84,9 @@ def compute_msm(
     """Compute sum_i scalars[i] * points[i]; returns the affine result.
 
     engine: "tpu" (default when a JAX device is usable), "oracle"
-    (pure-Python reference), or "cpu" (native C++ engine, if built).
+    (pure-Python reference), "cpu" (native C++ engine, if built), "hybrid"
+    (CPU/TPU co-compute), or "naive" (per-point double-and-add ladder — the
+    reference's naive-baseline comparison row).
     """
     config = config or MSMConfig()
     if engine is None:
@@ -123,6 +125,11 @@ def compute_msm(
         from .engines import cpu_engine
 
         x, y = cpu_engine.msm_affine(pts, sc, config)
+        return AffinePoint(x, y)
+    if engine == "naive":
+        from .engines import naive_engine
+
+        x, y = naive_engine.msm_affine(pts, sc, config)
         return AffinePoint(x, y)
     if engine == "tpu":
         if config.cpu_work_ratio > 0:

@@ -77,7 +77,7 @@ def run(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="16", help="comma-separated log2 sizes")
-    ap.add_argument("--engines", default="tpu", help="tpu,cpu,hybrid,oracle")
+    ap.add_argument("--engines", default="tpu", help="tpu,cpu,hybrid,oracle,naive")
     ap.add_argument("--csv", default=None, help="write rows to CSV file")
     ap.add_argument(
         "--window-sweep",

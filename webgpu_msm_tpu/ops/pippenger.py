@@ -441,6 +441,31 @@ def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray
         T_flat, U_flat = padd_kernels.grouped_running_sum(s_flat)
         T = T_flat[..., : K * G].reshape(4, 16, K, G)
         U = U_flat[..., : K * G].reshape(4, 16, K, G)
+
+        # Second grouped pass over the G axis finishes the reduction in ONE
+        # more kernel launch (vs ~30 launches of log-depth suffix + tree
+        # scans): lanes 0..K-1 carry T (U-output = sum_g g*T_g = V), lanes
+        # K..2K-1 carry U (T-output = sum_g U_g = U_tot).
+        tu = jnp.transpose(
+            jnp.concatenate([T, U], axis=2), (3, 0, 1, 2)
+        )  # [G, 4, 16, 2K]
+        pad2 = jnp.broadcast_to(
+            curve_ops.identity(()).stacked()[None, :, :, None],
+            (G, 4, 16, 1024 - 2 * K),
+        )
+        s2 = jnp.concatenate([tu, pad2], axis=-1)
+        T2, U2 = padd_kernels.grouped_running_sum(s2)
+        V = U2[..., :K]  # [4, 16, K] = sum_g g * T_g
+        U_tot = T2[..., K : 2 * K]  # [4, 16, K] = sum_g U_g
+        V = lax.fori_loop(
+            0,
+            Gs.bit_length() - 1,
+            lambda i, st: curve_ops.double(PointVec.from_stacked(st)).stacked(),
+            V,
+        )
+        return curve_ops.add(
+            PointVec.from_stacked(V), PointVec.from_stacked(U_tot)
+        ).stacked()
     else:
         id_kg = curve_ops.identity((K, G)).stacked()
 
