@@ -189,14 +189,15 @@ def padd_masked(a_st: jnp.ndarray, b_st: jnp.ndarray, mask: jnp.ndarray) -> jnp.
     return out.reshape(a_st.shape)
 
 
-def _accumulate_scan_kernel(*refs, use_mxu=False):
-    """One (width-block, step) cell of the fused accumulation scan.
+def _accumulate_scan_kernel(*refs, use_mxu=False, steps=1):
+    """One (width-block, step-block) cell of the fused accumulation scan.
 
-    Grid = (n_width_blocks, L); the accumulator lives in VMEM scratch and
-    persists across the L inner steps (TPU grid iteration is sequential).
-    The whole bucket-accumulation phase is this single pallas_call: points
-    stream HBM->VMEM via the grid pipeline (the reference's double-buffered
-    staging, gpu.ts:146-155, for free), flushes stream back per step.
+    Grid = (n_width_blocks, L // steps); the accumulator lives in VMEM
+    scratch between cells and in REGISTERS across the `steps` unrolled inner
+    steps of a cell (amortizing per-cell pipeline overhead — DMA waits and
+    scratch round-trips — which costs ~2x at steps=1). Points stream
+    HBM->VMEM via the grid pipeline (the reference's double-buffered
+    staging, gpu.ts:146-155, for free), flushes stream back per cell.
     """
     if use_mxu:
         from . import field_kernels_mxu as fkm
@@ -209,9 +210,9 @@ def _accumulate_scan_kernel(*refs, use_mxu=False):
         (pts_ref, ids_ref,
          staged_ref, facc_ref, fid_ref, acc_ref, accid_ref) = refs
         mul = None
-    l = pl.program_id(1)
+    lb = pl.program_id(1)
 
-    @pl.when(l == 0)
+    @pl.when(lb == 0)
     def _():
         # acc = identity (0, R, 0, R), acc_id = sentinel
         one = fk.digits_const(fk.R_MOD_P, acc_ref.shape[2:])
@@ -225,49 +226,56 @@ def _accumulate_scan_kernel(*refs, use_mxu=False):
 
     acc = _coords(acc_ref[...])
     acc_id = accid_ref[...]
-    raw = ids_ref[...]
-    # bit 31 carries the signed-digit flag (pippenger.py packs it); the run
-    # id is the bucket alone — a sign change must NOT split a bucket's run.
-    ids = raw & 0x7FFFFFFF
-    sgn = raw >> 31
-    p = pts_ref[...]  # packed Niels planes [3, 8]: (y-x, y+x, 2d*t)
-    ym0, yp0, td0 = [], [], []
-    for c, dst in ((0, ym0), (1, yp0), (2, td0)):
-        for q in range(8):
-            v = p[c, q]
-            dst.append(v & 0xFFFF)
-            dst.append(v >> 16)
-    neg = sgn == 1
-    # Negation in Niels form: swap (y-x) <-> (y+x), negate 2d*t.
-    ym = fk.kselect(neg, yp0, ym0)
-    yp = fk.kselect(neg, ym0, yp0)
-    td = fk.kselect(neg, fk.kneg(td0), td0)
     one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
     zero = fk.digits_const(0, acc_id.shape)
 
-    # Run boundary: reset the accumulator to the identity, then always add
-    # (identity + P = P projectively) — the incoming point never needs its
-    # extended coordinates reconstructed from Niels form.
-    same = ids == acc_id
-    accx = fk.kselect(same, acc[0], zero)
-    accy = fk.kselect(same, acc[1], one)
-    acct = fk.kselect(same, acc[2], zero)
-    accz = fk.kselect(same, acc[3], one)
-    new_acc = _niels_add((accx, accy, acct, accz), (ym, yp, td), mul=mul)
+    for s in range(steps):
+        raw = ids_ref[s]
+        # bit 31 carries the signed-digit flag (pippenger.py packs it); the
+        # run id is the bucket alone — a sign change must NOT split a run.
+        ids = raw & 0x7FFFFFFF
+        sgn = raw >> 31
+        p = pts_ref[:, :, s]  # packed Niels planes [3, 8]: (y-x, y+x, 2d*t)
+        ym0, yp0, td0 = [], [], []
+        for c, dst in ((0, ym0), (1, yp0), (2, td0)):
+            for q in range(8):
+                v = p[c, q]
+                dst.append(v & 0xFFFF)
+                dst.append(v >> 16)
+        neg = sgn == 1
+        # Negation in Niels form: swap (y-x) <-> (y+x), negate 2d*t.
+        ym = fk.kselect(neg, yp0, ym0)
+        yp = fk.kselect(neg, ym0, yp0)
+        td = fk.kselect(neg, fk.kneg(td0), td0)
 
-    staged_ref[...] = acc_ref[...]  # pre-update acc = flush candidate
-    new_st = _stack_coords(new_acc)
+        # Run boundary: reset the accumulator to the identity, then always
+        # add (identity + P = P projectively) — the incoming point never
+        # needs its extended coordinates reconstructed from Niels form.
+        same = ids == acc_id
+        accx = fk.kselect(same, acc[0], zero)
+        accy = fk.kselect(same, acc[1], one)
+        acct = fk.kselect(same, acc[2], zero)
+        accz = fk.kselect(same, acc[3], one)
+        # Emit the pre-update acc: the flush candidate for this position.
+        staged_ref[0, :, s] = jnp.stack(acc[0])
+        staged_ref[1, :, s] = jnp.stack(acc[1])
+        staged_ref[2, :, s] = jnp.stack(acc[2])
+        staged_ref[3, :, s] = jnp.stack(acc[3])
+        acc = _niels_add((accx, accy, acct, accz), (ym, yp, td), mul=mul)
+        acc_id = ids
+
+    new_st = _stack_coords(acc)
     acc_ref[...] = new_st
-    accid_ref[...] = ids
+    accid_ref[...] = acc_id
 
-    @pl.when(l == pl.num_programs(1) - 1)
+    @pl.when(lb == pl.num_programs(1) - 1)
     def _():
         facc_ref[...] = new_st
-        fid_ref[...] = ids
+        fid_ref[...] = acc_id
 
 
 def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
-                    use_mxu: bool = False):
+                    use_mxu: bool = False, steps: int = 0):
     """Fused bucket-accumulation scan.
 
     xs_pts [3, 8, L, W] PACKED Montgomery Niels planes (two 16-bit digits
@@ -286,21 +294,24 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         # 16 sublanes/cell measured fastest (scripts/bench_scan_blocks.py);
         # 64+ exceeds the 16 MB scoped-VMEM budget.
         block_rows = 16 if rows % 16 == 0 else SUBLANES
+    if steps <= 0:
+        steps = 4 if L % 4 == 0 else 1
     assert W % (block_rows * LANES) == 0, (W, block_rows)
+    assert L % steps == 0, (L, steps)
     n_wb = rows // block_rows
     pts5 = xs_pts.reshape(3, 8, L, rows, LANES)
     ids3 = ids.reshape(L, rows, LANES)
 
-    grid = (n_wb, L)
+    grid = (n_wb, L // steps)
     in_specs = [
         pl.BlockSpec(
-            (3, 8, None, block_rows, LANES),
-            lambda wb, l: (0, 0, l, wb, 0),
+            (3, 8, steps, block_rows, LANES),
+            lambda wb, lb: (0, 0, lb, wb, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (None, block_rows, LANES),
-            lambda wb, l: (l, wb, 0),
+            (steps, block_rows, LANES),
+            lambda wb, lb: (lb, wb, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -311,12 +322,14 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         for mat in fkm.const_inputs():
             in_specs.append(
                 pl.BlockSpec(
-                    mat.shape, lambda wb, l: (0, 0), memory_space=pltpu.VMEM
+                    mat.shape, lambda wb, lb: (0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(jnp.asarray(mat))
     staged, facc, fid = pl.pallas_call(
-        functools.partial(_accumulate_scan_kernel, use_mxu=use_mxu),
+        functools.partial(
+            _accumulate_scan_kernel, use_mxu=use_mxu, steps=steps
+        ),
         grid=grid,
         in_specs=in_specs,
         out_shape=(
@@ -326,17 +339,17 @@ def accumulate_scan(xs_pts: jnp.ndarray, ids: jnp.ndarray, block_rows: int = 0,
         ),
         out_specs=(
             pl.BlockSpec(
-                (4, 16, None, block_rows, LANES),
-                lambda wb, l: (0, 0, l, wb, 0),
+                (4, 16, steps, block_rows, LANES),
+                lambda wb, lb: (0, 0, lb, wb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (4, 16, block_rows, LANES),
-                lambda wb, l: (0, 0, wb, 0),
+                lambda wb, lb: (0, 0, wb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_rows, LANES), lambda wb, l: (wb, 0), memory_space=pltpu.VMEM
+                (block_rows, LANES), lambda wb, lb: (wb, 0), memory_space=pltpu.VMEM
             ),
         ),
         scratch_shapes=[
