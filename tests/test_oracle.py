@@ -88,3 +88,19 @@ def test_montgomery_constants():
     assert (field.P * field.N0_INV_32) % (1 << 32) == (1 << 32) - 1
     assert (field.P * field.N0_INV_16) % (1 << 16) == (1 << 16) - 1
     assert field.from_mont(field.to_mont(12345)) == 12345
+
+
+def test_fixture_file_roundtrip(tmp_path):
+    """save_test_case/load_test_case use the reference's fixture text format
+    (one JSON point per line, one decimal scalar per line)."""
+    from webgpu_msm_tpu.utils import fixtures
+
+    case = fixtures.distinct_case(4, seed=42, window_size=8)
+    pp, sp = tmp_path / "points.txt", tmp_path / "scalars.txt"
+    fixtures.save_test_case(case, pp, sp)
+    loaded = fixtures.load_test_case(pp, sp, expected=case.expected)
+    assert [(p.x, p.y, p.t, p.z) for p in loaded.points] == [
+        (p.x, p.y, p.t, p.z) for p in case.points
+    ]
+    assert loaded.scalars == case.scalars
+    assert loaded.expected == case.expected

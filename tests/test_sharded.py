@@ -37,13 +37,13 @@ def _decode(wsums, w):
     return curve.to_affine(combine_windows(window_sums_to_points(np.asarray(out)), w))
 
 
-_MODES = ["window_sums"] + (
-    ["buckets"] if os.environ.get("MSM_FULL_TESTS") else []
+_CASES = [("window_sums", False), ("window_sums", True)] + (
+    [("buckets", False)] if os.environ.get("MSM_FULL_TESTS") else []
 )
 
 
-@pytest.mark.parametrize("mode", _MODES)
-def test_sharded_msm_matches_oracle(mode):
+@pytest.mark.parametrize("mode,signed", _CASES)
+def test_sharded_msm_matches_oracle(mode, signed):
     D = len(jax.devices())
     assert D == 8, "conftest should provide 8 virtual devices"
     W, C, L = 8, 8, 8
@@ -62,6 +62,7 @@ def test_sharded_msm_matches_oracle(mode):
         chunk_len=L,
         mesh=mesh,
         mode=mode,
+        signed_digits=signed,
     )
     got = _decode(wsums, W)
     want = curve.to_affine(omsm.msm(pts, scalars, window_size=W))

@@ -60,17 +60,20 @@ def tree_add_points(stacked: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0]
 
 
-def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode):
+def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode,
+                       signed_digits):
     """Per-device shard -> replicated combined window sums [4, 16, K]."""
     if mode == "buckets":
         local = pippenger.accumulate_buckets(
-            pts, sw, window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len
+            pts, sw, window_size=window_size, n_chunks=n_chunks,
+            chunk_len=chunk_len, signed_digits=signed_digits,
         )  # [4, 16, K, B]
         gathered = jax.lax.all_gather(local, AXIS)  # [D, 4, 16, K, B]
         combined = tree_add_points(gathered)
         return pippenger.reduce_buckets(combined)
     local = pippenger.accumulate_and_reduce(
-        pts, sw, window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len
+        pts, sw, window_size=window_size, n_chunks=n_chunks,
+        chunk_len=chunk_len, signed_digits=signed_digits,
     )  # [4, 16, K]
     gathered = jax.lax.all_gather(local, AXIS)  # [D, 4, 16, K]
     return tree_add_points(gathered)
@@ -78,7 +81,9 @@ def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_size", "n_chunks", "chunk_len", "mesh", "mode"),
+    static_argnames=(
+        "window_size", "n_chunks", "chunk_len", "mesh", "mode", "signed_digits"
+    ),
 )
 def msm_window_sums_sharded(
     points: jnp.ndarray,  # [3, 16, n_global] uint32 Montgomery NIELS planes
@@ -89,6 +94,7 @@ def msm_window_sums_sharded(
     chunk_len: int,
     mesh: Mesh,
     mode: str = "window_sums",
+    signed_digits: bool = False,
 ) -> jnp.ndarray:
     """Sharded MSM -> replicated window sums [4, 16, K] (Montgomery)."""
     fn = jax.shard_map(
@@ -98,6 +104,7 @@ def msm_window_sums_sharded(
             n_chunks=n_chunks,
             chunk_len=chunk_len,
             mode=mode,
+            signed_digits=signed_digits,
         ),
         mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, AXIS)),

@@ -80,3 +80,45 @@ def distinct_case(n: int, seed: int = 1, window_size: int = 13) -> TestCase:
     scalars = random_scalars(n, seed=seed + 1000)
     expected = curve.to_affine(oracle_msm.msm(pts, scalars, window_size))
     return TestCase(points=pts, scalars=scalars, expected=expected)
+
+
+def save_test_case(case: TestCase, points_path, scalars_path) -> None:
+    """Write fixture files in the reference's text format: one JSON point
+    per line (x/y/t/z decimal strings) and one decimal scalar per line
+    (saveTestCaseToFile.ts / testCases.ts:34-52)."""
+    import json
+
+    with open(points_path, "w") as f:
+        for p in case.points:
+            f.write(
+                json.dumps({"x": str(p.x), "y": str(p.y), "t": str(p.t), "z": str(p.z)})
+                + "\n"
+            )
+    with open(scalars_path, "w") as f:
+        for s in case.scalars:
+            f.write(f"{s}\n")
+
+
+def load_test_case(points_path, scalars_path, expected=None) -> TestCase:
+    """Read fixture files written by `save_test_case` (or hydrated reference
+    LFS fixtures — same line format, testCases.ts:34-52). `expected` may be
+    passed (the reference pins it in code); computed via the oracle if not."""
+    import json
+
+    pts = []
+    with open(points_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            pts.append(
+                ExtPoint(int(d["x"]), int(d["y"]), int(d["t"]), int(d.get("z", 1)))
+            )
+    scalars = []
+    with open(scalars_path) as f:
+        for line in f:
+            if line.strip():
+                scalars.append(int(line))
+    if expected is None:
+        expected = curve.to_affine(oracle_msm.msm(pts, scalars, 13))
+    return TestCase(points=pts, scalars=scalars, expected=tuple(expected))
