@@ -60,7 +60,8 @@ def build_inputs(n: int, seed: int = 2024):
     return planes, words, expected
 
 
-def measure_device(n_pow: int, iters: int, window: int | None):
+def measure_device(n_pow: int, iters: int, window: int | None,
+                   chunks: tuple[int, int] | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +76,7 @@ def measure_device(n_pow: int, iters: int, window: int | None):
     n = 1 << n_pow
     cfg = MSMConfig(window_size=window)
     w = cfg.resolved_window_size(n)
-    C, L = cfg.resolved_chunking(n)
+    C, L = chunks if chunks else cfg.resolved_chunking(n)
     assert n % (C * L) == 0, (C, L, n)
 
     planes, words, expected = build_inputs(n)
@@ -181,9 +182,13 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--chunks", default=None, help="C,L chunking override")
     args = ap.parse_args()
 
-    dev = measure_device(args.n_pow, args.iters, args.window)
+    chunks = None
+    if args.chunks:
+        chunks = tuple(int(v) for v in args.chunks.split(","))
+    dev = measure_device(args.n_pow, args.iters, args.window, chunks=chunks)
 
     vs = None
     if not args.skip_baseline:
