@@ -135,6 +135,64 @@ def measure_device(n_pow: int, iters: int, window: int | None,
     }
 
 
+def build_wire_inputs(n: int, seed: int = 2024):
+    """Wire-format (U32Array) inputs: [n, 32] BE u32 point rows (x||y||t||z,
+    z == 1) and [n, 8] BE u32 scalar rows — the reference's primary input
+    form (README.md:66-96, AllBenchmarks.tsx:221-230)."""
+    from webgpu_msm_tpu.oracle import field
+    from webgpu_msm_tpu.oracle.testdata import base_point
+    from webgpu_msm_tpu.utils import convert
+
+    rng = np.random.default_rng(seed)
+    words = rng.integers(0, 1 << 32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    words[7] &= 0x1FFFFFFF  # < 2^253
+    total = 0
+    for w in range(8):
+        total += int(words[w].astype(np.uint64).sum()) << (32 * w)
+    from webgpu_msm_tpu.oracle import curve
+
+    b = base_point()
+    expected = curve.to_affine(curve.scalar_mul(b, total))
+
+    row = convert.bigints_to_u32_be(
+        [b.x % field.P, b.y % field.P, b.t % field.P, 1]
+    ).reshape(32)
+    points_be = np.broadcast_to(row, (n, 32)).copy()
+    scalars_be = convert.words_le_to_be_rows(words)
+    return points_be, scalars_be, expected
+
+
+def measure_wall(n_pow: int, iters: int, window: int | None) -> dict:
+    """The scoring clock: full `compute_msm` wall time from U32Array inputs,
+    marshalling included — the analog of the reference's performance.now()
+    around the whole async call (Benchmark.tsx:31-34)."""
+    import webgpu_msm_tpu as m
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    points_be, scalars_be, expected = build_wire_inputs(n)
+
+    got = m.compute_msm(points_be, scalars_be, config=cfg, engine="tpu")
+    bit_exact = (got.x, got.y) == expected
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        m.compute_msm(points_be, scalars_be, config=cfg, engine="tpu")
+        times.append(time.perf_counter() - t0)
+    wall_s = float(np.median(times))
+    return {
+        "n": n,
+        "wall_s": wall_s,
+        "wall_s_all": times,
+        "wall_points_per_s": n / wall_s,
+        "bit_exact": bool(bit_exact),
+    }
+
+
 def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
     """Single-thread CPU reference: the pure-Python serial Pippenger oracle."""
     from webgpu_msm_tpu.config import MSMConfig
@@ -182,6 +240,7 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-wall", action="store_true")
     ap.add_argument("--chunks", default=None, help="C,L chunking override")
     args = ap.parse_args()
 
@@ -189,6 +248,9 @@ def main() -> int:
     if args.chunks:
         chunks = tuple(int(v) for v in args.chunks.split(","))
     dev = measure_device(args.n_pow, args.iters, args.window, chunks=chunks)
+    wall = None
+    if not args.skip_wall:
+        wall = measure_wall(args.n_pow, args.iters, args.window)
 
     vs = None
     if not args.skip_baseline:
@@ -201,11 +263,17 @@ def main() -> int:
         "unit": "points/s/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,
     }
+    if wall is not None:
+        # The scoring-clock number: wall time of the full compute_msm call
+        # from U32Array inputs, marshalling included (Benchmark.tsx:31-34).
+        line["wall_clock_points_per_s"] = round(wall["wall_points_per_s"], 1)
     detail = {**dev}
     detail.pop("device_s_all", None)
+    if wall is not None:
+        detail["wall"] = {k: v for k, v in wall.items() if k != "wall_s_all"}
     print(json.dumps(line))
     print(json.dumps({"detail": detail}), file=sys.stderr)
-    if not dev["bit_exact"]:
+    if not dev["bit_exact"] or (wall is not None and not wall["bit_exact"]):
         print("ERROR: result not bit-exact", file=sys.stderr)
         return 1
     return 0

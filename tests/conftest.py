@@ -8,16 +8,23 @@ must override — both the env var (before jax initializes) and the config
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MSM_TEST_TPU=1 runs the suite on the real TPU backend instead (useful for
+# the `-m slow` kernel tests, whose interpret-mode XLA:CPU compiles take
+# minutes; on TPU the same tests run the real kernels).
+_USE_TPU = os.environ.get("MSM_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the MSM pipeline graphs are expensive to
 # compile on XLA:CPU (~minutes); cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")

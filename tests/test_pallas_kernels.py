@@ -116,25 +116,154 @@ def test_fused_reduce_matches_fallback():
     ]
 
 
-def test_scan_step_kernel():
-    accs = [oc.double(p) for p in fixtures.distinct_points(4, seed=94)]
-    fresh = fixtures.distinct_points(4, seed=95)
-    acc_st, acc_full = pts_to_stacked(accs)
-    pts_st_full, fresh_full = pts_to_stacked(fresh)
-    pts_st = pts_st_full[:3]
-    acc_id = jnp.asarray((np.arange(W) % 4).astype(np.uint32))
-    ids = jnp.asarray((np.arange(W) % 2).astype(np.uint32))
-    nacc, nid, staged = pk.scan_step(acc_st, acc_id, pts_st, ids)
-    got = stacked_to_pts(nacc)[:8]
-    staged_pts = stacked_to_pts(staged)[:8]
-    assert np.array_equal(np.asarray(nid), np.asarray(ids))
-    for i, g in enumerate(got):
-        same = (i % 4) == (i % 2)
-        if same:
-            w = oc.add(acc_full[i], fresh_full[i])
-        else:
-            w = oc.ExtPoint(fresh_full[i].x, fresh_full[i].y, fresh_full[i].t, 1)
-        assert (g.x, g.y, g.t, g.z) == (w.x, w.y, w.t, w.z), f"lane {i} same={same}"
-        s = staged_pts[i]
-        a = acc_full[i]
-        assert (s.x, s.y, s.t, s.z) == (a.x, a.y, a.t, a.z)
+def _mmul(a: int, b: int) -> int:
+    """Montgomery product (operands already in the Montgomery domain)."""
+    return F.from_mont(F.fmul(a, b))
+
+
+def _niels_of(p):
+    """Plain ExtPoint -> Montgomery Niels (y-x, y+x, 2d*t)."""
+    return (
+        F.to_mont(F.fsub(p.y, p.x)),
+        F.to_mont(F.fadd(p.y, p.x)),
+        F.to_mont(F.fmul(2 * F.EDWARDS_D, p.t)),
+    )
+
+
+def _niels_add_model(acc, niels):
+    """Python model of the kernel's 7-mul Niels add — digit-exact."""
+    x1, y1, t1, z1 = acc
+    ym2, yp2, td2 = niels
+    a = _mmul(F.fsub(y1, x1), ym2)
+    b = _mmul(F.fadd(y1, x1), yp2)
+    c = _mmul(t1, td2)
+    d = F.fadd(z1, z1)
+    e, f, g, h = F.fsub(b, a), F.fsub(d, c), F.fadd(d, c), F.fadd(b, a)
+    return (_mmul(e, f), _mmul(g, h), _mmul(e, h), _mmul(f, g))
+
+
+def _pack_niels(niels_lw):
+    """[L][W] of (ym, yp, td) Montgomery ints -> [3, 8, L, W] packed u32."""
+    L, Wd = len(niels_lw), len(niels_lw[0])
+    out = np.zeros((3, 8, L, Wd), dtype=np.uint32)
+    for l in range(L):
+        for w_i in range(Wd):
+            for c, v in enumerate(niels_lw[l][w_i]):
+                for q in range(8):
+                    lo = (v >> (32 * q)) & 0xFFFF
+                    hi = (v >> (32 * q + 16)) & 0xFFFF
+                    out[c, q, l, w_i] = lo | (hi << 16)
+    return out
+
+
+def _scan_model(ids_lw, niels_lw, L, n_lanes):
+    """Per-lane reference scan: (staged, final_acc, final_id) in Montgomery."""
+    ident = (0, F.R_MOD_P, 0, F.R_MOD_P)
+    staged = [[None] * n_lanes for _ in range(L)]
+    facc, fid = [None] * n_lanes, [None] * n_lanes
+    for w_i in range(n_lanes):
+        acc, acc_id = ident, 0xFFFFFFFF
+        for l in range(L):
+            raw = int(ids_lw[l][w_i])
+            bid, neg = raw & 0x7FFFFFFF, raw >> 31
+            ym, yp, td = niels_lw[l][w_i]
+            if neg:
+                ym, yp, td = yp, ym, F.fneg(td)
+            staged[l][w_i] = acc
+            if bid != acc_id:
+                acc = ident
+            acc = _niels_add_model(acc, (ym, yp, td))
+            acc_id = bid
+        facc[w_i], fid[w_i] = acc, acc_id
+    return staged, facc, fid
+
+
+def _coords_at(arr, l, w_i):
+    """[4, 16, L, W] or [4, 16, W] digit planes -> 4 Montgomery ints."""
+    sl = arr[:, :, l, w_i] if arr.ndim == 4 else arr[:, :, w_i]
+    out = []
+    for c in range(4):
+        v = 0
+        for d in reversed(range(16)):
+            v = (v << 16) | int(sl[c, d])
+        out.append(v)
+    return tuple(out)
+
+
+def _run_accumulate_scan_case(L, id_patterns, seed, **kw):
+    """Drive pk.accumulate_scan at [3,8,L,1024] vs the python model.
+
+    id_patterns: list of length-L id streams (bit 31 = sign flag); pattern p
+    is assigned to lanes w where w % len(id_patterns) == p, so every pattern
+    is exercised across block positions.
+    """
+    n_pat = len(id_patterns)
+    pts = fixtures.distinct_points(2 * L, seed=seed)
+    niels_lw = [
+        [_niels_of(pts[(l + w_i) % len(pts)]) for w_i in range(W)]
+        for l in range(L)
+    ]
+    ids_lw = [
+        [id_patterns[w_i % n_pat][l] for w_i in range(W)] for l in range(L)
+    ]
+    xs = jnp.asarray(_pack_niels(niels_lw))
+    ids = jnp.asarray(np.array(ids_lw, dtype=np.uint32))
+    facc, fid, staged = pk.accumulate_scan(xs, ids, **kw)
+    facc, fid, staged = np.asarray(facc), np.asarray(fid), np.asarray(staged)
+    staged = staged.reshape(4, 16, L, W)
+
+    # verify one lane per pattern at two block positions (lanes 0..2*n_pat)
+    check_lanes = list(range(n_pat)) + [128 + p for p in range(n_pat)]
+    e_staged, e_facc, e_fid = _scan_model(
+        ids_lw, niels_lw, L, max(check_lanes) + 1
+    )
+    for w_i in check_lanes:
+        assert int(fid[w_i]) == e_fid[w_i], f"fid lane {w_i}"
+        assert _coords_at(facc, None, w_i) == e_facc[w_i], f"facc lane {w_i}"
+        for l in range(L):
+            assert (
+                _coords_at(staged, l, w_i) == e_staged[l][w_i]
+            ), f"staged lane {w_i} step {l}"
+
+
+def test_accumulate_scan_kernel():
+    """Production scan kernel: run boundaries at step/cell edges, signed-digit
+    negation, packed-u32 unpacking, VMEM scratch carry across grid cells."""
+    L = 8  # steps=4 -> 2 step-cells; boundary cases straddle the cell edge
+    S = 1 << 31  # sign flag
+    patterns = [
+        [5] * L,                                  # one run, crosses cell edge
+        [3] * 4 + [7] * 4,                        # boundary exactly at edge
+        [1, 1, 2, 2, 2, 6, 6, 6],                 # mid-cell boundaries
+        list(range(L)),                           # boundary every step
+        [9, 9 | S, 9, 9 | S, 9, 9, 9 | S, 9],     # signs within one run
+        [4 | S, 4, 2 | S, 2 | S, 2, 8, 8 | S, 1],  # signs + boundaries mixed
+    ]
+    _run_accumulate_scan_case(L, patterns, seed=41)
+
+
+def test_accumulate_scan_kernel_odd_len():
+    """L % 4 != 0 falls back to steps=1 cells."""
+    L = 3
+    S = 1 << 31
+    patterns = [[2, 2, 2], [1, 2, 3], [5, 5 | S, 4]]
+    _run_accumulate_scan_case(L, patterns, seed=42)
+
+
+def test_to_niels_kernel():
+    pts = fixtures.distinct_points(6, seed=43)
+    arr = np.zeros((3, 16, W), dtype=np.uint32)
+    for i in range(W):
+        p = pts[i % len(pts)]
+        for c, v in enumerate((p.x, p.y, p.t)):
+            for d in range(16):
+                arr[c, d, i] = (v >> (16 * d)) & 0xFFFF
+    out = np.asarray(pk.to_niels(jnp.asarray(arr)))
+    for i in range(len(pts)):
+        got = []
+        for c in range(3):
+            v = 0
+            for d in reversed(range(16)):
+                v = (v << 16) | int(out[c, d, i])
+            got.append(v)
+        assert tuple(got) == _niels_of(pts[i % len(pts)]), f"lane {i}"

@@ -1,0 +1,102 @@
+"""U32Array (wire-format) input path — the reference's primary input form.
+
+The reference benchmarks feed the submission `U32ArrayPoint[]` inputs
+(README.md:66-96, AllBenchmarks.tsx:221-230); here the analog is
+`compute_msm` with numpy [n, 32] point rows and [n, 8] scalar rows (both
+big-endian u32), which dispatches to the vectorized
+`tpu_engine.msm_affine_wire` fast path. Round-1 verdict item #4: this path
+had zero tests and a silent-fallback bug.
+"""
+import numpy as np
+import pytest
+
+import webgpu_msm_tpu as m
+from webgpu_msm_tpu import MSMConfig
+from webgpu_msm_tpu.oracle import curve, field
+from webgpu_msm_tpu.utils import convert, fixtures
+
+CFG = MSMConfig(window_size=8, n_chunks=8, chunk_len=8)
+
+
+def wire_points(pts, z=None):
+    """list[ExtPoint] -> [n, 32] BE u32 rows: x || y || t || z."""
+    xs = convert.bigints_to_u32_be([p.x for p in pts])
+    ys = convert.bigints_to_u32_be([p.y for p in pts])
+    ts = convert.bigints_to_u32_be([p.t for p in pts])
+    zs = convert.bigints_to_u32_be([p.z if z is None else z for p in pts])
+    return np.concatenate([xs, ys, ts, zs], axis=1)
+
+
+@pytest.fixture(scope="module")
+def case():
+    pts = fixtures.distinct_points(48, seed=51)
+    scalars = fixtures.random_scalars(48, seed=52)
+    want = m.compute_msm(pts, scalars, config=CFG, engine="oracle")
+    return pts, scalars, (want.x, want.y)
+
+
+def test_wire_path_matches_list_path(case):
+    pts, scalars, want = case
+    pw = wire_points(pts)
+    sw = convert.bigints_to_u32_be(scalars)
+    from webgpu_msm_tpu import api
+    assert api._wire_fast_path_ok(pw, sw)
+    got = m.compute_msm(pw, sw, config=CFG, engine="tpu")
+    assert (got.x, got.y) == want
+
+
+def test_wire_path_padding(case):
+    """n not a multiple of the batch: identity padding inside the wire path."""
+    pts, scalars, want = case
+    pts, scalars = pts[:37], scalars[:37]
+    ref = m.compute_msm(pts, scalars, config=CFG, engine="oracle")
+    got = m.compute_msm(
+        wire_points(pts), convert.bigints_to_u32_be(scalars), config=CFG,
+        engine="tpu",
+    )
+    assert (got.x, got.y) == (ref.x, ref.y)
+
+
+def test_wire_path_z_not_one_falls_back(case):
+    """z != 1 rows take the generic (normalizing) path, same result."""
+    pts, scalars, want = case
+    lam = 7
+    scaled = [
+        curve.ExtPoint(
+            p.x * lam % field.P, p.y * lam % field.P,
+            p.t * lam % field.P, lam,
+        )
+        for p in pts
+    ]
+    pw = wire_points(scaled)
+    sw = convert.bigints_to_u32_be(scalars)
+    from webgpu_msm_tpu import api
+    assert not api._wire_fast_path_ok(pw, sw)
+    got = m.compute_msm(pw, sw, config=CFG, engine="tpu")
+    assert (got.x, got.y) == want
+
+
+def test_wire_path_bad_shapes_rejected(case):
+    pts, scalars, _ = case
+    pw = wire_points(pts)
+    sw = convert.bigints_to_u32_be(scalars)
+    # mismatched counts must raise loudly, not silently fall back
+    with pytest.raises(ValueError):
+        m.compute_msm(pw, sw[:-1], config=CFG, engine="tpu")
+
+
+def test_wire_fast_path_errors_propagate(case, monkeypatch):
+    """Defects inside the fast path must surface, not be swallowed."""
+    from webgpu_msm_tpu.engines import tpu_engine
+
+    pts, scalars, _ = case
+
+    def boom(*a, **k):
+        raise ValueError("internal marshalling defect")
+
+    monkeypatch.setattr(tpu_engine, "msm_affine_wire", boom)
+    with pytest.raises(ValueError, match="internal marshalling defect"):
+        m.compute_msm(
+            wire_points(pts), convert.bigints_to_u32_be(scalars),
+            config=CFG, engine="tpu",
+        )

@@ -16,6 +16,7 @@ oracle engine otherwise.
 """
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -31,6 +32,55 @@ from .utils import convert
 class AffinePoint:
     x: int
     y: int
+
+
+_DEFAULT_ENGINE: Optional[str] = None
+_WARNED_NON_TPU = False
+
+
+def _default_engine() -> str:
+    """"tpu" when a JAX backend is usable (the tpu engine runs on any XLA
+    backend, with jnp fallbacks off-TPU), else the pure-Python oracle."""
+    global _DEFAULT_ENGINE
+    if _DEFAULT_ENGINE is None:
+        try:
+            import jax
+
+            jax.devices()
+            _DEFAULT_ENGINE = "tpu"
+        except Exception:  # no usable backend at all
+            _DEFAULT_ENGINE = "oracle"
+    return _DEFAULT_ENGINE
+
+
+def _warn_if_not_tpu() -> None:
+    global _WARNED_NON_TPU
+    if _WARNED_NON_TPU:
+        return
+    _WARNED_NON_TPU = True
+    import jax
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        warnings.warn(
+            f"engine='tpu' is running on the {backend!r} XLA backend "
+            "(jnp fallback paths; correct but slow)",
+            stacklevel=3,
+        )
+
+
+def _wire_fast_path_ok(points: np.ndarray, scalars: np.ndarray) -> bool:
+    """Preconditions for msm_affine_wire, checked explicitly up front so the
+    fast path never swallows real errors (round-1 advice: the old
+    `except ValueError: pass` hid marshalling bugs)."""
+    if points.dtype != np.uint32 and points.dtype != np.uint64:
+        return False
+    if points.size == 0 or points.size % 32 != 0:
+        return False
+    if scalars.size != points.size // 4:  # n*8 scalar words vs n*32 point words
+        return False
+    z = np.ascontiguousarray(points, dtype=np.uint32).reshape(-1, 32)[:, 24:32]
+    return bool(np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1))
 
 
 def _normalize_scalars(scalars: Any) -> list[int]:
@@ -83,29 +133,31 @@ def compute_msm(
 ) -> AffinePoint:
     """Compute sum_i scalars[i] * points[i]; returns the affine result.
 
-    engine: "tpu" (default when a JAX device is usable), "oracle"
-    (pure-Python reference), "cpu" (native C++ engine, if built), "hybrid"
-    (CPU/TPU co-compute), or "naive" (per-point double-and-add ladder — the
-    reference's naive-baseline comparison row).
+    engine: "tpu" (default when a JAX backend is usable), "oracle"
+    (pure-Python reference; default otherwise), "cpu" (native C++ engine,
+    if built), "hybrid" (CPU/TPU co-compute), or "naive" (per-point
+    double-and-add ladder — the reference's naive-baseline comparison row).
     """
     config = config or MSMConfig()
     if engine is None:
-        engine = "tpu"
+        engine = _default_engine()
+    if engine == "tpu":
+        _warn_if_not_tpu()
 
-    # Wire-format (U32Array) fast path: no python-int round trip.
+    # Wire-format (U32Array) fast path: no python-int round trip. The
+    # preconditions (shape, z == 1) are checked explicitly up front; inside
+    # the fast path any error is a real defect and propagates.
     if (
         engine == "tpu"
         and config.cpu_work_ratio == 0
         and isinstance(points, np.ndarray)
         and isinstance(scalars, np.ndarray)
+        and _wire_fast_path_ok(points, scalars)
     ):
         from .engines import tpu_engine
 
-        try:
-            x, y = tpu_engine.msm_affine_wire(points, scalars, config)
-            return AffinePoint(x, y)
-        except ValueError:
-            pass  # non-affine z: fall through to the generic path
+        x, y = tpu_engine.msm_affine_wire(points, scalars, config)
+        return AffinePoint(x, y)
 
     pts = _normalize_points(points)
     sc = _normalize_scalars(scalars)

@@ -26,7 +26,10 @@ from ..ops import curve_ops, field_ops, limbs
 from ..ops.curve_ops import PointVec
 from . import tpu_engine
 
-SCALAR_BITS = 253
+# Full 256-bit ladder: the API accepts arbitrary u256 scalars, and the other
+# engines (oracle/tpu/cpu) reduce them with full 256-bit windows; three extra
+# iterations are negligible for a baseline row.
+SCALAR_BITS = 256
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -4,11 +4,12 @@ The device ISA layer of the TPU build — replacing the reference's WGSL
 entry_padd_idx.wgsl (one PADD per GPU thread driven by host-computed index
 triples) with VMEM-resident vector kernels:
 
-- `padd(a, b)`          unified add over point batches
-- `padd_masked(a,b,m)`  lane-masked add (`m ? a+b : a`) — the building block
-                        of the log-depth segmented/suffix scans
-- `scan_step(...)`      one step of the bucket-accumulation running scan:
-                        mixed add + run-boundary select + flush emit, fused
+- `padd(a, b)`            unified add over point batches
+- `padd_masked(a,b,m)`    lane-masked add (`m ? a+b : a`) — the building
+                          block of the log-depth segmented/suffix scans
+- `accumulate_scan(...)`  the production fused bucket-accumulation scan
+- `grouped_running_sum`   the fused bucket-reduction scan
+- `to_niels(...)`         input conversion to Montgomery Niels form
 
 Point batches are stacked uint32 arrays [4, 16, W] (coords x Montgomery
 digits x width); kernels view width as [W/128, 128] 2D tiles so every digit
@@ -110,26 +111,6 @@ def _padd_masked_kernel(a_ref, b_ref, m_ref, o_ref):
     summed = _unified_add(pa, pb)
     out = tuple(fk.kselect(mask, s, a) for s, a in zip(summed, pa))
     o_ref[...] = _stack_coords(out)
-
-
-def _scan_step_kernel(acc_ref, accid_ref, pts_ref, ids_ref, nacc_ref, nid_ref, staged_ref):
-    acc = _coords(acc_ref[...])
-    acc_id = accid_ref[...]
-    ids = ids_ref[...]
-    p = pts_ref[...]
-    px = [p[0, d] for d in range(16)]
-    py = [p[1, d] for d in range(16)]
-    pt = [p[2, d] for d in range(16)]
-    one = fk.digits_const(fk.R_MOD_P, acc_id.shape)
-
-    same = ids == acc_id
-    added = _unified_add(acc, (px, py, pt, None))
-    fresh = (px, py, pt, one)
-    new_acc = tuple(fk.kselect(same, s, f) for s, f in zip(added, fresh))
-
-    staged_ref[...] = acc_ref[...]  # pre-update acc = flush candidate
-    nacc_ref[...] = _stack_coords(new_acc)
-    nid_ref[...] = ids
 
 
 def _width_grid(W: int):
@@ -449,17 +430,6 @@ def grouped_running_sum(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return t.reshape(4, 16, W), u.reshape(4, 16, W)
 
 
-def _to_mont_kernel(pts_ref, o_ref):
-    from ...oracle.field import R2_MOD_P
-
-    n_coords = pts_ref.shape[0]
-    for c in range(n_coords):
-        coord = [pts_ref[c, d] for d in range(16)]
-        out = fk.kmont_mul_const(coord, R2_MOD_P)
-        for d in range(16):
-            o_ref[c, d] = out[d]
-
-
 def _to_niels_kernel(pts_ref, o_ref):
     """Plain (x, y, t) -> Montgomery Niels (y-x, y+x, 2d*t)."""
     from ...oracle.field import EDWARDS_D, R2_MOD_P
@@ -501,43 +471,6 @@ def _coordwise_call(kernel, pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.nd
     return out.reshape(pts_st.shape)
 
 
-def to_mont(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
-    """Plain -> Montgomery domain over stacked [n_coords, 16, W] coords."""
-    return _coordwise_call(_to_mont_kernel, pts_st, block_rows)
-
-
 def to_niels(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
     """Plain (x, y, t) [3, 16, W] -> Montgomery Niels (y-x, y+x, 2d*t)."""
     return _coordwise_call(_to_niels_kernel, pts_st, block_rows)
-
-
-def scan_step(acc_st, acc_id, pts_st, ids):
-    """One accumulation-scan step over width W.
-
-    acc_st [4,16,W], acc_id [W] uint32, pts_st [3,16,W], ids [W] ->
-    (new_acc [4,16,W], new_id [W], staged [4,16,W]).
-    """
-    W = acc_st.shape[-1]
-    rows, grid = _width_grid(W)
-    nacc, nid, staged = pl.pallas_call(
-        _scan_step_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((4, 16, rows, LANES), jnp.uint32),
-        ),
-        grid=(grid,),
-        in_specs=[_pts_spec(4), _mask_spec(), _pts_spec(3), _mask_spec()],
-        out_specs=(_pts_spec(4), _mask_spec(), _pts_spec(4)),
-        interpret=_interpret(),
-    )(
-        _reshape_pts(acc_st, rows),
-        acc_id.reshape(rows, LANES),
-        _reshape_pts(pts_st, rows),
-        ids.reshape(rows, LANES),
-    )
-    return (
-        nacc.reshape(acc_st.shape),
-        nid.reshape(W),
-        staged.reshape(acc_st.shape),
-    )

@@ -37,13 +37,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..oracle.field import R_MOD_P
 from . import curve_ops, field_ops, limbs, windows
 from .curve_ops import PointVec
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp): a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize() in
+# multi-host processes (it must run before any backend touch).
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 class AffVec(NamedTuple):
