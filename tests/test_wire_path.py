@@ -85,6 +85,42 @@ def test_wire_path_bad_shapes_rejected(case):
         m.compute_msm(pw, sw[:-1], config=CFG, engine="tpu")
 
 
+def test_wire_path_hybrid_cocompute(case):
+    """cpuWorkRatio split on wire inputs: native C++ half + device half,
+    both with vectorized marshalling, affine join."""
+    pytest.importorskip("ctypes")
+    from webgpu_msm_tpu.runtime import load
+
+    try:
+        load()
+    except Exception as e:
+        pytest.skip(f"native engine unavailable: {e}")
+    pts, scalars, want = case
+    cfg = MSMConfig(
+        window_size=8, n_chunks=8, chunk_len=8, cpu_work_ratio=0.3
+    )
+    got = m.compute_msm(
+        wire_points(pts), convert.bigints_to_u32_be(scalars), config=cfg,
+        engine="hybrid",
+    )
+    assert (got.x, got.y) == want
+
+
+def test_cpu_engine_wire_marshalling(case):
+    """Vectorized numpy marshal into the native engine == list path."""
+    from webgpu_msm_tpu.engines import cpu_engine
+
+    try:
+        cpu_engine.load()
+    except Exception as e:
+        pytest.skip(f"native engine unavailable: {e}")
+    pts, scalars, want = case
+    got = cpu_engine.msm_wire(
+        wire_points(pts), convert.bigints_to_u32_be(scalars), window_size=8
+    )
+    assert got == want
+
+
 def test_wire_fast_path_errors_propagate(case, monkeypatch):
     """Defects inside the fast path must surface, not be swallowed."""
     from webgpu_msm_tpu.engines import tpu_engine

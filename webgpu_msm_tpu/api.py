@@ -148,15 +148,19 @@ def compute_msm(
     # preconditions (shape, z == 1) are checked explicitly up front; inside
     # the fast path any error is a real defect and propagates.
     if (
-        engine == "tpu"
-        and config.cpu_work_ratio == 0
+        engine in ("tpu", "hybrid")
         and isinstance(points, np.ndarray)
         and isinstance(scalars, np.ndarray)
         and _wire_fast_path_ok(points, scalars)
     ):
-        from .engines import tpu_engine
+        if engine == "hybrid" or config.cpu_work_ratio > 0:
+            from .engines import hybrid_engine
 
-        x, y = tpu_engine.msm_affine_wire(points, scalars, config)
+            x, y = hybrid_engine.msm_affine_wire(points, scalars, config)
+        else:
+            from .engines import tpu_engine
+
+            x, y = tpu_engine.msm_affine_wire(points, scalars, config)
         return AffinePoint(x, y)
 
     pts = _normalize_points(points)

@@ -78,6 +78,12 @@ class MSMConfig:
     # negating points on the fly (free on Edwards curves), enabling larger
     # windows. Requires scalars < 2^254; the engine checks and falls back.
     signed_digits: bool = True
+    # Native-engine thread count. None = all hardware threads for the
+    # cpu-only engine, all-but-one under co-compute — the analog of the
+    # reference's idle-thread reservation (msm-wasm run_with_idle,
+    # lib.rs:144-169), which parks rayon threads so the GPU driver thread
+    # stays responsive.
+    cpu_threads: Optional[int] = None
     # Multi-chip: how window/bucket partials are combined across devices.
     #   "window_sums": all-gather per-window sums (tiny payload; default)
     #   "buckets":     all-gather full bucket arrays, combine locally

@@ -79,8 +79,64 @@ def add_affine(p1: tuple[int, int], p2: tuple[int, int]) -> tuple[int, int]:
     return x, y
 
 
+def _be_rows_to_limbs4(be_rows: np.ndarray) -> np.ndarray:
+    """[n, 8] big-endian u32 rows -> [n, 4] little-endian u64 limbs."""
+    w = be_rows[:, ::-1].astype(np.uint64)  # LE word order
+    return w[:, 0::2] | (w[:, 1::2] << np.uint64(32))
+
+
+def msm_wire(
+    points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z (z == 1)
+    scalars_be: np.ndarray,  # [n, 8] u32 BE rows
+    window_size: int,
+    n_threads: int = 0,
+) -> tuple[int, int]:
+    """Wire-format native MSM: fully vectorized numpy marshalling.
+
+    The list path (`msm_window_partial`) marshals per point in Python —
+    ~200k bigint iterations at a 2^20/0.2 co-compute split before the
+    native code even starts (round-1 finding). Here the whole marshal is a
+    few array ops, like the TPU wire path.
+    """
+    lib = load()
+    points_be = np.ascontiguousarray(points_be, dtype=np.uint32).reshape(-1, 32)
+    scalars_be = np.ascontiguousarray(scalars_be, dtype=np.uint32).reshape(-1, 8)
+    n = points_be.shape[0]
+    pts = np.empty((n, 3, 4), dtype=np.uint64)
+    for c, sl in enumerate((slice(0, 8), slice(8, 16), slice(16, 24))):
+        pts[:, c, :] = _be_rows_to_limbs4(points_be[:, sl])
+    sc = np.ascontiguousarray(_be_rows_to_limbs4(scalars_be))
+    out = np.zeros(8, dtype=np.uint64)
+    rc = lib.msm_run(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n,
+        window_size,
+        n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"msm_run failed with code {rc}")
+    x = sum(int(out[i]) << (64 * i) for i in range(4))
+    y = sum(int(out[4 + i]) << (64 * i) for i in range(4))
+    return x, y
+
+
+def resolved_threads(config: MSMConfig, co_compute: bool) -> int:
+    """cpu_threads, or all hardware threads (all-but-one in co-compute mode
+    — the reference's idle-thread reservation, lib.rs:144-169)."""
+    if config.cpu_threads is not None:
+        return config.cpu_threads
+    import os
+
+    hw = os.cpu_count() or 1
+    return max(1, hw - 1) if co_compute else hw
+
+
 def msm_affine(
     points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
 ) -> tuple[int, int]:
     w = config.resolved_window_size(len(points))
-    return msm_window_partial(points, scalars, w)
+    return msm_window_partial(
+        points, scalars, w, n_threads=resolved_threads(config, co_compute=False)
+    )

@@ -29,10 +29,52 @@ def msm_affine(
         return cpu_engine.msm_affine(points, scalars, config)
 
     w = config.resolved_window_size(n)
+    n_threads = cpu_engine.resolved_threads(config, co_compute=True)
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         cpu_future = pool.submit(
-            cpu_engine.msm_window_partial, points[:n_cpu], scalars[:n_cpu], w
+            cpu_engine.msm_window_partial,
+            points[:n_cpu],
+            scalars[:n_cpu],
+            w,
+            n_threads,
         )
         tpu_result = tpu_engine.msm_affine(points[n_cpu:], scalars[n_cpu:], config)
+        cpu_result = cpu_future.result()
+    return cpu_engine.add_affine(cpu_result, tpu_result)
+
+
+def msm_affine_wire(
+    points_be, scalars_be, config: MSMConfig
+) -> tuple[int, int]:
+    """Wire-format co-compute: numpy array split, vectorized marshalling on
+    both halves, affine join — the cpuWorkRatio split applied to the
+    reference's primary input form (submission.ts:96-154)."""
+    import numpy as np
+
+    points_be = np.ascontiguousarray(points_be, dtype=np.uint32).reshape(-1, 32)
+    scalars_be = np.ascontiguousarray(scalars_be, dtype=np.uint32).reshape(-1, 8)
+    n = points_be.shape[0]
+    n_cpu = int(n * config.cpu_work_ratio)
+    if n_cpu <= 0:
+        return tpu_engine.msm_affine_wire(points_be, scalars_be, config)
+    if n_cpu >= n:
+        w = config.resolved_window_size(n)
+        return cpu_engine.msm_wire(
+            points_be, scalars_be, w,
+            n_threads=cpu_engine.resolved_threads(config, co_compute=False),
+        )
+    w = config.resolved_window_size(n)
+    n_threads = cpu_engine.resolved_threads(config, co_compute=True)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        cpu_future = pool.submit(
+            cpu_engine.msm_wire,
+            points_be[:n_cpu],
+            scalars_be[:n_cpu],
+            w,
+            n_threads,
+        )
+        tpu_result = tpu_engine.msm_affine_wire(
+            points_be[n_cpu:], scalars_be[n_cpu:], config
+        )
         cpu_result = cpu_future.result()
     return cpu_engine.add_affine(cpu_result, tpu_result)

@@ -74,6 +74,45 @@ def distinct_points(n: int, seed: int = 1) -> list[ExtPoint]:
     return pts
 
 
+def distinct_points_fast(n: int, seed: int = 1) -> list[ExtPoint]:
+    """n distinct subgroup points at full-size n (2^16..2^20 fixtures).
+
+    `distinct_points` does a full scalar_mul per point (fine for unit-test
+    sizes, ~hours at 2^20); this generates the deterministic chain
+    P_i = (k0 + i)·B with one group add per point and converts to affine
+    with one batched Montgomery-trick inversion. Point values don't affect
+    MSM control flow (only scalars do), so chain structure costs nothing
+    in coverage; distinctness still catches index mixups.
+    """
+    b = base_point()
+    k0 = (
+        int.from_bytes(
+            hashlib.sha256(f"tpu-msm-chain-{seed}".encode()).digest(), "big"
+        )
+        % field.SUBGROUP_ORDER
+    )
+    p = curve.scalar_mul(b, k0)
+    chain = []
+    for _ in range(n):
+        chain.append(p)
+        p = curve.add(p, b)
+    # batch inversion of the z coordinates (Montgomery's trick)
+    prefix = [1] * (n + 1)
+    for i, q in enumerate(chain):
+        prefix[i + 1] = prefix[i] * q.z % field.P
+    inv = field.finv(prefix[n])
+    zinvs = [0] * n
+    for i in range(n - 1, -1, -1):
+        zinvs[i] = prefix[i] * inv % field.P
+        inv = inv * chain[i].z % field.P
+    out = []
+    for q, zi in zip(chain, zinvs):
+        x = q.x * zi % field.P
+        y = q.y * zi % field.P
+        out.append(ExtPoint(x, y, x * y % field.P, 1))
+    return out
+
+
 def distinct_case(n: int, seed: int = 1, window_size: int = 13) -> TestCase:
     """Distinct points + random scalars; expected via the serial oracle MSM."""
     pts = distinct_points(n, seed=seed)
