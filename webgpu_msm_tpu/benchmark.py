@@ -74,6 +74,62 @@ def run(
     return rows
 
 
+def _wire_case(n: int, seed: int = 99):
+    """Repeated-base wire-format inputs ([n,32], [n,8] BE u32) + expected."""
+    from .utils import convert
+
+    points, scalars, expected = _case(n, seed)
+    b = points[0]
+    row = convert.bigints_to_u32_be(
+        [b.x % field.P, b.y % field.P, b.t % field.P, 1]
+    ).reshape(32)
+    pw = np.broadcast_to(row, (n, 32)).copy()
+    sw = convert.bigints_to_u32_be(scalars)
+    return pw, sw, expected
+
+
+def run_ratio_sweep(
+    n_pow: int,
+    ratios: list[float],
+    iters: int = 3,
+) -> list[dict]:
+    """cpuWorkRatio sweep on wire inputs: measures whether any CPU/TPU
+    co-compute split beats TPU-only on this host (the reference's variant
+    priority: co-compute > GPU-only > CPU-only, DESIGN.md:7-20). Wire
+    inputs so marshalling is vectorized on both halves."""
+    n = 1 << n_pow
+    pw, sw, expected = _wire_case(n)
+    rows = []
+    for ratio in ratios:
+        cfg = MSMConfig(cpu_work_ratio=ratio)
+        engine = "hybrid" if 0 < ratio else "tpu"
+        try:
+            res = compute_msm(pw, sw, config=cfg, engine=engine)  # warm-up
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                res = compute_msm(pw, sw, config=cfg, engine=engine)
+                times.append(time.perf_counter() - t0)
+            ms = float(np.median(times)) * 1000
+            ok = (res.x, res.y) == expected
+        except Exception as e:
+            ms, ok = float("nan"), False
+            print(f"  ERROR ratio={ratio}: {e}", file=sys.stderr)
+        rows.append(
+            {
+                "inputSize": n_pow,
+                "msmFunc": f"hybrid(ratio={ratio})",
+                "timeMS": round(ms, 2),
+                "correct": ok,
+            }
+        )
+        mark = "✓" if ok else "✗"
+        print(f"2^{n_pow:<3d} ratio={ratio:<5} {ms:10.1f} ms  {mark}")
+    best = min((r for r in rows if r["correct"]), key=lambda r: r["timeMS"])
+    print(f"best split: {best['msmFunc']} at {best['timeMS']} ms")
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="16", help="comma-separated log2 sizes")
@@ -84,12 +140,24 @@ def main() -> int:
         action="store_true",
         help="sweep all supported window sizes (DESIGN.md:28-31)",
     )
+    ap.add_argument(
+        "--ratio-sweep",
+        action="store_true",
+        help="sweep cpu_work_ratio splits on wire inputs (DESIGN.md:7-20)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     engines = args.engines.split(",")
     windows = list(SUPPORTED_WINDOW_SIZES) if args.window_sweep else None
 
-    rows = run(sizes, engines, windows)
+    if args.ratio_sweep:
+        rows = []
+        for n_pow in sizes:
+            rows += run_ratio_sweep(
+                n_pow, [0.0, 0.02, 0.05, 0.1, 0.2, 0.5, 1.0]
+            )
+    else:
+        rows = run(sizes, engines, windows)
     if args.csv:
         with open(args.csv, "w", newline="") as f:
             writer = csv.DictWriter(
