@@ -22,12 +22,8 @@ from ..ops import field_ops, limbs, pippenger, windows
 from ..utils import convert
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
-)
-def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len,
-                signed_digits=False):
+def _device_msm_impl(points_plain, scalar_words, *, window_size, n_chunks,
+                     chunk_len, signed_digits=False):
     """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
     from ..ops import curve_ops
 
@@ -53,6 +49,42 @@ def _device_msm(points_plain, scalar_words, *, window_size, n_chunks, chunk_len,
         ]
     )
     return out
+
+
+_device_msm_jit = functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
+)(_device_msm_impl)
+
+
+def _device_msm(points_plain, scalar_words, *, window_size, n_chunks,
+                chunk_len, signed_digits=False):
+    """Device MSM dispatch through the AOT program cache.
+
+    Tracing + lowering the pipeline costs ~73 s per fresh process at the
+    production shape (scripts/profile_compile.py); on TPU the traced
+    program is serialized via jax.export and re-used across processes
+    (utils/cache.exported_call), so warm starts skip Python tracing
+    entirely and the backend compile hits jax's persistent cache. Non-TPU
+    backends (tests, interpret mode) use plain jit.
+    """
+    if jax.default_backend() != "tpu":
+        return _device_msm_jit(
+            points_plain, scalar_words, window_size=window_size,
+            n_chunks=n_chunks, chunk_len=chunk_len,
+            signed_digits=signed_digits,
+        )
+    from ..utils.cache import exported_call
+
+    fn = functools.partial(
+        _device_msm_impl, window_size=window_size, n_chunks=n_chunks,
+        chunk_len=chunk_len, signed_digits=signed_digits,
+    )
+    name = (
+        f"device_msm_w{window_size}_c{n_chunks}x{chunk_len}"
+        f"_s{int(signed_digits)}"
+    )
+    return exported_call(name, fn, points_plain, scalar_words)
 
 
 def marshal_points(points: Sequence[ExtPoint], pad_to: int) -> np.ndarray:
