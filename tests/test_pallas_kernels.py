@@ -250,6 +250,26 @@ def test_accumulate_scan_kernel_odd_len():
     _run_accumulate_scan_case(L, patterns, seed=42)
 
 
+def test_to_niels_xy_kernel():
+    """Wire-path variant: t = x*y computed in-kernel."""
+    pts = fixtures.distinct_points(6, seed=44)
+    arr = np.zeros((2, 16, W), dtype=np.uint32)
+    for i in range(W):
+        p = pts[i % len(pts)]
+        for c, v in enumerate((p.x, p.y)):
+            for d in range(16):
+                arr[c, d, i] = (v >> (16 * d)) & 0xFFFF
+    out = np.asarray(pk.to_niels_xy(jnp.asarray(arr)))
+    for i in range(len(pts)):
+        got = []
+        for c in range(3):
+            v = 0
+            for d in reversed(range(16)):
+                v = (v << 16) | int(out[c, d, i])
+            got.append(v)
+        assert tuple(got) == _niels_of(pts[i % len(pts)]), f"lane {i}"
+
+
 def test_to_niels_kernel():
     pts = fixtures.distinct_points(6, seed=43)
     arr = np.zeros((3, 16, W), dtype=np.uint32)

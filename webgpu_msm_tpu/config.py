@@ -70,6 +70,9 @@ class MSMConfig:
     window_size: Optional[int] = None  # None -> best_window_size(n)
     # Host/device co-compute split in [0, 1]: fraction of points handled by
     # the native CPU engine (the reference's cpuWorkRatio, DESIGN.md:7-34).
+    # Default 0: measured sweep (benchmark.py --ratio-sweep; DESIGN.md
+    # "Co-compute split, measured") shows TPU-only wins at every split on a
+    # 1-core-per-chip host; re-sweep on many-core hosts.
     cpu_work_ratio: float = 0.0
     # Accumulation chunking; None -> default_chunking(n).
     n_chunks: Optional[int] = None

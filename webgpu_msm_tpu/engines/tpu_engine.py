@@ -231,17 +231,91 @@ def _be_words_to_planes(be_rows: np.ndarray) -> np.ndarray:
     return planes
 
 
+def _be_cols_to_planes_j(cols: jnp.ndarray) -> jnp.ndarray:
+    """[n, 8] big-endian u32 rows -> [16, n] LE digit planes (on device)."""
+    w = cols[:, ::-1].T  # [8, n] LE word order
+    lo = w & jnp.uint32(0xFFFF)
+    hi = w >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=1).reshape(16, -1)
+
+
+def _device_msm_wire_impl(xy_be, scalars_be, *, window_size, n_chunks,
+                          chunk_len, signed_digits=False):
+    """Device-side wire marshalling: [pad, 16] BE x||y rows + [pad, 8] BE
+    scalar rows -> window sums [4, 16, K] plain.
+
+    The BE->digit-plane unpack, the Montgomery conversion, AND t = x*y all
+    happen on device — the host only slices/pads the incoming wire arrays,
+    so the wall clock pays one (half-width) transfer and no numpy marshal
+    (the reference's 8 convert workers, submission.ts:50-74, reduced to
+    zero host work).
+    """
+    from ..ops import curve_ops
+
+    x = _be_cols_to_planes_j(xy_be[:, :8])
+    y = _be_cols_to_planes_j(xy_be[:, 8:])
+    n = x.shape[-1]
+    if jax.default_backend() == "tpu" and n % 1024 == 0:
+        from ..ops.pallas import padd_kernels
+
+        pts_niels = padd_kernels.to_niels_xy(jnp.stack([x, y]))
+    else:
+        pts_niels = curve_ops.to_niels_from_xy(x, y)
+    sw = convert_be_rows_to_words_le_j(scalars_be)
+    wsums_mont = pippenger.accumulate_and_reduce(
+        pts_niels,
+        sw,
+        window_size=window_size,
+        n_chunks=n_chunks,
+        chunk_len=chunk_len,
+        signed_digits=signed_digits,
+    )
+    return jnp.stack(
+        [
+            limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
+            for i in range(4)
+        ]
+    )
+
+
+def convert_be_rows_to_words_le_j(be_rows: jnp.ndarray) -> jnp.ndarray:
+    """[n, 8] BE u32 rows -> [8, n] LE words (device-side)."""
+    return be_rows[:, ::-1].T
+
+
+_device_msm_wire_jit = functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
+)(_device_msm_wire_impl)
+
+
+def _device_msm_wire(xy_be, scalars_be, **kw):
+    if jax.default_backend() != "tpu":
+        return _device_msm_wire_jit(xy_be, scalars_be, **kw)
+    from ..utils.cache import exported_call
+
+    name = (
+        f"device_msm_wire_w{kw['window_size']}_c{kw['n_chunks']}x"
+        f"{kw['chunk_len']}_s{int(kw.get('signed_digits', False))}"
+    )
+    return exported_call(
+        name, functools.partial(_device_msm_wire_impl, **kw), xy_be, scalars_be
+    )
+
+
 def msm_affine_wire(
     points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z
     scalars_be: np.ndarray,  # [n, 8] u32 BE rows
     config: MSMConfig,
 ) -> tuple[int, int]:
-    """Wire-format (U32Array) fast path: fully vectorized marshalling.
+    """Wire-format (U32Array) fast path: marshalling ON DEVICE.
 
     The reference parallelizes bigint->u32 conversion across 8 workers
-    (submission.ts:50-74, convert_worker.ts); with numpy the whole marshal
-    is a few array ops. Requires z == 1 (extended affine, README.md:66-96);
-    falls back to the generic path otherwise.
+    (submission.ts:50-74, convert_worker.ts); here the host only slices
+    x||y out of the rows and pads — unpacking, Montgomery conversion and
+    t = x*y run inside the device program. Requires z == 1 (extended
+    affine, README.md:66-96); callers fall back to the generic path
+    otherwise.
     """
     from ..utils import trace
 
@@ -256,21 +330,24 @@ def msm_affine_wire(
     C, L = config.resolved_chunking(n)
     batch = C * L
     pad_to = -(-n // batch) * batch
-    with trace.phase("convert inputs (wire)"):
-        planes = np.zeros((3, 16, pad_to), dtype=np.uint32)
-        for c, sl in enumerate((slice(0, 8), slice(8, 16), slice(16, 24))):
-            planes[c, :, :n] = _be_words_to_planes(points_be[:, sl])
-        planes[1, 0, n:] = 1  # identity padding (0, 1, 0)
-        sc = np.zeros((8, pad_to), dtype=np.uint32)
-        sc[:, :n] = convert.be_rows_to_words_le(scalars_be)
-    with trace.phase("device msm"):
-        out = _device_msm(
-            jnp.asarray(planes),
+    with trace.phase("slice/pad inputs (wire)"):
+        xy = np.zeros((pad_to, 16), dtype=np.uint32)
+        xy[:n] = points_be[:, :16]
+        xy[n:, 15] = 1  # identity padding: x = 0, y = 1 (BE low word)
+        sc = np.zeros((pad_to, 8), dtype=np.uint32)
+        sc[:n] = scalars_be
+        # signed recoding needs scalars < 2^254; BE word 0 is the top word
+        signed = config.signed_digits and bool(
+            np.all(scalars_be[:, 0] < (1 << 29))
+        )
+    with trace.phase("device msm (wire)"):
+        out = _device_msm_wire(
+            jnp.asarray(xy),
             jnp.asarray(sc),
             window_size=w,
             n_chunks=C,
             chunk_len=L,
-            signed_digits=_signed_ok(config, sc),
+            signed_digits=signed,
         )
         out_host = np.asarray(out)
     result = combine_windows(window_sums_to_points(out_host), w)

@@ -118,6 +118,23 @@ def to_niels_planes(points_plain: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([limbs.stack(ym), limbs.stack(yp), limbs.stack(td)])
 
 
+def to_niels_from_xy(x_planes: jnp.ndarray, y_planes: jnp.ndarray) -> jnp.ndarray:
+    """[16, n] plain x and y digit planes -> [3, 16, n] Montgomery Niels.
+
+    t = x*y is computed ON DEVICE as mont_mul(xR, yR) = (x*y)R — so the
+    wire path only transfers x||y (half the reference's 32-u32 rows) and
+    skips host-side t marshalling entirely. Identical residues to
+    `to_niels_planes` on (x, y, x*y).
+    """
+    x = field_ops.to_mont(limbs.unstack(x_planes))
+    y = field_ops.to_mont(limbs.unstack(y_planes))
+    ym = field_sub(y, x)
+    yp = field_add(y, x)
+    t = mont_mul(x, y)
+    td = mul_plain_const(t, 2 * EDWARDS_D)
+    return jnp.stack([limbs.stack(ym), limbs.stack(yp), limbs.stack(td)])
+
+
 def double(p: PointVec) -> PointVec:
     """Dedicated doubling (curve.wgsl:93-114, dbl-2008-hwcd a = -1)."""
     a = mont_sqr(p.x)

@@ -448,6 +448,25 @@ def _to_niels_kernel(pts_ref, o_ref):
         o_ref[2, d] = td[d]
 
 
+def _to_niels_xy_kernel(pts_ref, o_ref):
+    """Plain (x, y) -> Montgomery Niels (y-x, y+x, 2d*x*y): t computed
+    in-kernel, so the wire path never marshals or transfers t at all."""
+    from ...oracle.field import EDWARDS_D, R2_MOD_P, R_MOD_P
+    from .field_kernels import P
+
+    x = fk.kmont_mul_const([pts_ref[0, d] for d in range(16)], R2_MOD_P)
+    y = fk.kmont_mul_const([pts_ref[1, d] for d in range(16)], R2_MOD_P)
+    ym = fk.ksub(y, x)
+    yp = fk.kadd(y, x)
+    t = fk.kmont_mul(x, y)  # (x*y)R
+    # (xyR) * (2d*R) * R^-1 = 2d*xy*R
+    td = fk.kmont_mul_const(t, (2 * EDWARDS_D * R_MOD_P) % P)
+    for d in range(16):
+        o_ref[0, d] = ym[d]
+        o_ref[1, d] = yp[d]
+        o_ref[2, d] = td[d]
+
+
 def _coordwise_call(kernel, pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
     n_coords = pts_st.shape[0]
     W = pts_st.shape[-1]
@@ -474,3 +493,31 @@ def _coordwise_call(kernel, pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.nd
 def to_niels(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
     """Plain (x, y, t) [3, 16, W] -> Montgomery Niels (y-x, y+x, 2d*t)."""
     return _coordwise_call(_to_niels_kernel, pts_st, block_rows)
+
+
+def to_niels_xy(pts_st: jnp.ndarray, block_rows: int = 16) -> jnp.ndarray:
+    """Plain (x, y) [2, 16, W] -> Montgomery Niels [3, 16, W] with
+    t = x*y computed in-kernel (the wire path's device-side marshal)."""
+    n_coords, _, W = pts_st.shape
+    assert n_coords == 2, pts_st.shape
+    rows = W // LANES
+    if rows % block_rows:
+        block_rows = SUBLANES
+    assert W % (block_rows * LANES) == 0, W
+
+    def spec(nc):
+        return pl.BlockSpec(
+            (nc, 16, block_rows, LANES),
+            lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        _to_niels_xy_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, 16, rows, LANES), jnp.uint32),
+        grid=(rows // block_rows,),
+        in_specs=[spec(2)],
+        out_specs=spec(3),
+        interpret=_interpret(),
+    )(pts_st.reshape(2, 16, rows, LANES))
+    return out.reshape(3, 16, W)
