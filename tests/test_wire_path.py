@@ -85,6 +85,18 @@ def test_wire_path_bad_shapes_rejected(case):
         m.compute_msm(pw, sw[:-1], config=CFG, engine="tpu")
 
 
+def test_wire_path_multi_batch(case):
+    """n spanning several C*L batches: the lax.scan accumulation path on
+    CPU; the streamed (transfer-overlapped) path on a real TPU backend."""
+    pts, scalars, want = case
+    cfg = MSMConfig(window_size=8, n_chunks=4, chunk_len=4)  # M=16, 3 batches
+    got = m.compute_msm(
+        wire_points(pts), convert.bigints_to_u32_be(scalars), config=cfg,
+        engine="tpu",
+    )
+    assert (got.x, got.y) == want
+
+
 def test_wire_path_hybrid_cocompute(case):
     """cpuWorkRatio split on wire inputs: native C++ half + device half,
     both with vectorized marshalling, affine join."""

@@ -303,6 +303,105 @@ def _device_msm_wire(xy_be, scalars_be, **kw):
     )
 
 
+def _wire_niels(xy_be):
+    from ..ops import curve_ops
+
+    x = _be_cols_to_planes_j(xy_be[:, :8])
+    y = _be_cols_to_planes_j(xy_be[:, 8:])
+    n = x.shape[-1]
+    if jax.default_backend() == "tpu" and n % 1024 == 0:
+        from ..ops.pallas import padd_kernels
+
+        return padd_kernels.to_niels_xy(jnp.stack([x, y]))
+    return curve_ops.to_niels_from_xy(x, y)
+
+
+def _wire_batch_impl(xy_be, scalars_be, carry_st, *, window_size, n_chunks,
+                     chunk_len, signed_digits=False):
+    """One wire batch -> bucket-array carry + this batch's buckets."""
+    pts_niels = _wire_niels(xy_be)
+    sw = convert_be_rows_to_words_le_j(scalars_be)
+    bsums = pippenger.accumulate_buckets(
+        pts_niels, sw, window_size=window_size, n_chunks=n_chunks,
+        chunk_len=chunk_len, signed_digits=signed_digits,
+    )
+    return pippenger._vadd(carry_st, bsums)
+
+
+def _wire_finish_impl(carry_st):
+    wsums_mont = pippenger.reduce_buckets(carry_st)
+    return jnp.stack(
+        [
+            limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
+            for i in range(4)
+        ]
+    )
+
+
+def _device_msm_wire_streamed(xy: np.ndarray, sc: np.ndarray, *, window_size,
+                              n_chunks, chunk_len, signed_digits):
+    """Multi-batch wire MSM with transfer/compute overlap.
+
+    Each batch's (xy, scalars) rows are device_put-dispatched and the
+    batch program queued without any host sync, so the runtime streams
+    batch k+1's host->device transfer while batch k computes — the
+    reference's double-buffered staging (gpu.ts:146-155 / DESIGN.md:
+    117-124) at transfer granularity. The bucket-array carry stays
+    device-resident; one finish program reduces it.
+    """
+    from ..ops import curve_ops, windows
+    from ..utils.cache import exported_call
+
+    M = n_chunks * chunk_len
+    n = xy.shape[0]
+    assert n % M == 0, (n, M)
+    K = windows.n_windows(window_size)
+    B = pippenger.n_buckets(window_size, signed_digits)
+    carry = jnp.broadcast_to(
+        jnp.asarray(
+            np.stack(
+                [
+                    np.zeros((16,), np.uint32),
+                    _R_PLANES,
+                    np.zeros((16,), np.uint32),
+                    _R_PLANES,
+                ]
+            )[:, :, None, None]
+        ),
+        (4, 16, K, B),
+    )
+    batch_kw = dict(
+        window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+        signed_digits=signed_digits,
+    )
+    name = (
+        f"wire_batch_w{window_size}_c{n_chunks}x{chunk_len}"
+        f"_s{int(signed_digits)}"
+    )
+    for b in range(n // M):
+        dxy = jax.device_put(xy[b * M : (b + 1) * M])
+        dsc = jax.device_put(sc[b * M : (b + 1) * M])
+        carry = exported_call(
+            name, functools.partial(_wire_batch_impl, **batch_kw),
+            dxy, dsc, carry,
+        )
+    return exported_call(f"wire_finish_w{window_size}_s{int(signed_digits)}",
+                         _wire_finish_impl, carry)
+
+
+# 16-bit digit planes of R mod p (the Montgomery-domain 1 of the identity
+# point (0, 1, 0, 1)), for building the streamed path's initial carry.
+def _r_planes() -> np.ndarray:
+    from ..oracle.field import R_MOD_P
+
+    return np.array(
+        [(R_MOD_P >> (16 * d)) & 0xFFFF for d in range(16)], dtype=np.uint32
+    )
+
+
+_R_PLANES = _r_planes()
+
+
 def msm_affine_wire(
     points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z
     scalars_be: np.ndarray,  # [n, 8] u32 BE rows
@@ -341,14 +440,20 @@ def msm_affine_wire(
             np.all(scalars_be[:, 0] < (1 << 29))
         )
     with trace.phase("device msm (wire)"):
-        out = _device_msm_wire(
-            jnp.asarray(xy),
-            jnp.asarray(sc),
-            window_size=w,
-            n_chunks=C,
-            chunk_len=L,
-            signed_digits=signed,
-        )
+        if pad_to > C * L and jax.default_backend() == "tpu":
+            out = _device_msm_wire_streamed(
+                xy, sc, window_size=w, n_chunks=C, chunk_len=L,
+                signed_digits=signed,
+            )
+        else:
+            out = _device_msm_wire(
+                jnp.asarray(xy),
+                jnp.asarray(sc),
+                window_size=w,
+                n_chunks=C,
+                chunk_len=L,
+                signed_digits=signed,
+            )
         out_host = np.asarray(out)
     result = combine_windows(window_sums_to_points(out_host), w)
     return ocurve.to_affine(result)
