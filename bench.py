@@ -193,6 +193,36 @@ def measure_wall(n_pow: int, iters: int, window: int | None) -> dict:
     }
 
 
+def measure_wall_batch(n_pow: int, n_jobs: int, window: int | None) -> dict:
+    """Batched-prover scoring clock: n_jobs wire-format MSMs through
+    `compute_msm_batch` — all jobs dispatch (transfer overlapped with
+    compute) before any result is fetched. The per-job wall throughput
+    should meet or beat the single-job number (SURVEY.md §7.7)."""
+    import webgpu_msm_tpu as m
+    from webgpu_msm_tpu.config import MSMConfig
+
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    jobs = [build_wire_inputs(n, seed=3000 + j) for j in range(n_jobs)]
+    points_list = [j[0] for j in jobs]
+    scalars_list = [j[1] for j in jobs]
+    expected = [j[2] for j in jobs]
+
+    got = m.compute_msm_batch(points_list, scalars_list, config=cfg)  # warm-up
+    bit_exact = all((g.x, g.y) == e for g, e in zip(got, expected))
+
+    t0 = time.perf_counter()
+    m.compute_msm_batch(points_list, scalars_list, config=cfg)
+    batch_s = time.perf_counter() - t0
+    return {
+        "n": n,
+        "n_jobs": n_jobs,
+        "batch_s": batch_s,
+        "batch_points_per_s": n * n_jobs / batch_s,
+        "bit_exact": bool(bit_exact),
+    }
+
+
 def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
     """Single-thread CPU reference: the pure-Python serial Pippenger oracle."""
     from webgpu_msm_tpu.config import MSMConfig
@@ -224,14 +254,55 @@ def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
     }
 
 
+def measure_native_baseline(n_pow: int, window: int | None) -> dict:
+    """Single-thread NATIVE CPU reference: the C++ 4x64 CIOS Pippenger
+    (runtime/csrc/msm_cpu.cpp) run with 1 thread — the honest analog of the
+    reference's arkworks `cpuWorkRatio=1` path (msm-wasm/src/lib.rs:106-121,
+    run single-threaded per BASELINE.md). Wire inputs so marshalling is
+    vectorized and the clock measures the MSM, not Python."""
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.engines import cpu_engine
+
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    w = cfg.resolved_window_size(n)
+    points_be, scalars_be, expected = build_wire_inputs(n)
+    t0 = time.perf_counter()
+    got = cpu_engine.msm_wire(points_be, scalars_be, w, n_threads=1)
+    took = time.perf_counter() - t0
+    return {
+        "n": n,
+        "window": w,
+        "cpu_s": took,
+        "points_per_s": n / took,
+        "bit_exact": bool(got == expected),
+    }
+
+
 def get_baseline(n_pow: int, window: int | None) -> dict:
+    """Both baseline anchors, cached: {"python": {...}, "native_st": {...}}.
+
+    `native_st` (the arkworks-class single-thread C++ engine) anchors
+    `vs_baseline`; the pure-Python oracle multiplier is reported separately
+    as `vs_python_oracle` (round-3 verdict #3: Python flattered the ratio).
+    """
+    n = 1 << n_pow
+    cached = {}
     if BASELINE_CACHE.exists():
         cached = json.loads(BASELINE_CACHE.read_text())
-        if cached.get("n") == (1 << n_pow):
-            return cached
-    base = measure_cpu_baseline(n_pow, window)
-    BASELINE_CACHE.write_text(json.dumps(base))
-    return base
+        if "python" not in cached:  # legacy schema: flat python-oracle entry
+            cached = {"python": cached} if cached.get("n") == n else {}
+    out = dict(cached)
+    if out.get("python", {}).get("n") != n:
+        out["python"] = measure_cpu_baseline(n_pow, window)
+    if out.get("native_st", {}).get("n") != n:
+        try:
+            out["native_st"] = measure_native_baseline(n_pow, window)
+        except Exception as e:  # native build unavailable: keep python anchor
+            print(f"native baseline unavailable: {e}", file=sys.stderr)
+    if out != cached:
+        BASELINE_CACHE.write_text(json.dumps(out))
+    return out
 
 
 def main() -> int:
@@ -241,6 +312,8 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-wall", action="store_true")
+    ap.add_argument("--batch-jobs", type=int, default=2,
+                    help="batched-prover jobs to measure (0 disables)")
     ap.add_argument("--chunks", default=None, help="C,L chunking override")
     args = ap.parse_args()
 
@@ -249,13 +322,25 @@ def main() -> int:
         chunks = tuple(int(v) for v in args.chunks.split(","))
     dev = measure_device(args.n_pow, args.iters, args.window, chunks=chunks)
     wall = None
+    batch = None
     if not args.skip_wall:
         wall = measure_wall(args.n_pow, args.iters, args.window)
+        if args.batch_jobs >= 2:
+            batch = measure_wall_batch(args.n_pow, args.batch_jobs, args.window)
 
-    vs = None
+    vs = vs_python = None
+    base = None
     if not args.skip_baseline:
         base = get_baseline(args.n_pow, args.window)
-        vs = dev["points_per_s"] / base["points_per_s"]
+        if "python" in base:
+            vs_python = dev["points_per_s"] / base["python"]["points_per_s"]
+        if "native_st" in base:
+            # vs_baseline anchors to the single-thread NATIVE engine (the
+            # arkworks-class reference, BASELINE.md ">=10x single-thread CPU
+            # reference"); the python-oracle multiplier is reported alongside.
+            vs = dev["points_per_s"] / base["native_st"]["points_per_s"]
+        else:
+            vs = vs_python
 
     line = {
         "metric": f"msm_2^{args.n_pow}_throughput",
@@ -263,17 +348,29 @@ def main() -> int:
         "unit": "points/s/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,
     }
+    if vs_python is not None:
+        line["vs_python_oracle"] = round(vs_python, 3)
     if wall is not None:
         # The scoring-clock number: wall time of the full compute_msm call
         # from U32Array inputs, marshalling included (Benchmark.tsx:31-34).
         line["wall_clock_points_per_s"] = round(wall["wall_points_per_s"], 1)
+    if batch is not None:
+        line["batch_wall_points_per_s"] = round(batch["batch_points_per_s"], 1)
     detail = {**dev}
     detail.pop("device_s_all", None)
     if wall is not None:
         detail["wall"] = {k: v for k, v in wall.items() if k != "wall_s_all"}
+    if base is not None:
+        detail["baselines"] = base
+    if batch is not None:
+        detail["batch"] = batch
     print(json.dumps(line))
     print(json.dumps({"detail": detail}), file=sys.stderr)
-    if not dev["bit_exact"] or (wall is not None and not wall["bit_exact"]):
+    if (
+        not dev["bit_exact"]
+        or (wall is not None and not wall["bit_exact"])
+        or (batch is not None and not batch["bit_exact"])
+    ):
         print("ERROR: result not bit-exact", file=sys.stderr)
         return 1
     return 0

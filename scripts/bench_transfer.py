@@ -2,7 +2,7 @@
 """Measure host->device transfer strategies for the wire path (round 3).
 
 The round-2 streamed wire path interleaves per-batch device_put with queued
-batch programs (tpu_engine._device_msm_wire_streamed) and lands at ~1.5 s
+batch programs (tpu_engine._device_msm_wire_staged) and lands at ~1.5 s
 wall at 2^20 — attributed to the tunnel's ~77 MB/s execution-adjacent
 transfer rate. But a standalone device_put reportedly bursts >1 GB/s, which
 would make "transfer everything first, then compute" strictly better.
@@ -82,7 +82,7 @@ def main() -> int:
 
     timed("B 4x per-batch device_put", batched)
 
-    # C: bulk put then monolithic wire program (its own lax.scan batching)
+    # C: the staged wire pipeline (per-batch puts + batch programs)
     from webgpu_msm_tpu.config import MSMConfig
     from webgpu_msm_tpu.engines import tpu_engine
 
@@ -91,28 +91,17 @@ def main() -> int:
     C, L = cfg.resolved_chunking(n)
     kw = dict(window_size=w, n_chunks=C, chunk_len=L, signed_digits=True)
 
-    def mono():
-        dxy = jax.device_put(xy)
-        dsc = jax.device_put(sc)
-        out = tpu_engine._device_msm_wire(dxy, dsc, **kw)
-        np.asarray(out)
-
-    print("compiling monolithic wire program ...", flush=True)
-    t0 = time.perf_counter()
-    mono()
-    print(f"  first call (compile) {time.perf_counter()-t0:.1f} s", flush=True)
-    timed("C bulk put + monolithic program", mono)
-
-    # D: round-2 streamed path
+    # (the monolithic single-program wire path was removed in round 4's
+    # stage-split compile diet; variant C is the staged path on a bulk put)
     def streamed():
-        out = tpu_engine._device_msm_wire_streamed(xy, sc, **kw)
+        out = tpu_engine._device_msm_wire_staged(xy, sc, **kw)
         np.asarray(out)
 
     print("compiling streamed batch program ...", flush=True)
     t0 = time.perf_counter()
     streamed()
     print(f"  first call (compile) {time.perf_counter()-t0:.1f} s", flush=True)
-    timed("D round-2 streamed path", streamed)
+    timed("C staged wire path (per-batch puts)", streamed)
     return 0
 
 

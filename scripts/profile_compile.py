@@ -61,18 +61,23 @@ def main():
     print(f"backend={jax.default_backend()} n=2^{args.n_pow} "
           f"W={W} C={C} L={L}", flush=True)
 
-    if on("full"):
-        from webgpu_msm_tpu.engines.tpu_engine import _device_msm
-
-        t_compile(
-            "full _device_msm (4 batches)",
-            lambda p, s: _device_msm(
-                p, s, window_size=W, n_chunks=C, chunk_len=L,
-                signed_digits=True),
-            pts, sc)
-
     pts1 = pts[:, :, :M]
     sc1 = sc[:, :M]
+    if on("full"):
+        # round-4 staged pipeline: ONE batch program (serves every n) + ONE
+        # finish program; cold start = sum of these two compiles.
+        from webgpu_msm_tpu.engines.tpu_engine import (
+            _batch_planes_impl, _finish_impl, _identity_carry,
+        )
+
+        carry = _identity_carry(W, True)
+        t_compile(
+            "staged batch program",
+            lambda p, s, c: _batch_planes_impl(
+                p, s, c, window_size=W, n_chunks=C, chunk_len=L,
+                signed_digits=True),
+            pts1, sc1, carry)
+        t_compile("staged finish program", _finish_impl, carry)
     if on("accrebatch"):
         t_compile(
             "accumulate_and_reduce (1 batch)",

@@ -17,9 +17,15 @@ if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_backend_optimization_level" not in flags:
+        # Fast-compile flags: ~25% off XLA:CPU compile of the MSM modules
+        # (scripts/bench_cpu_compile.py); the suite is compile-bound cold.
+        flags += (
+            " --xla_backend_optimization_level=0"
+            " --xla_llvm_disable_expensive_passes=true"
+        )
+    os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -27,13 +27,20 @@ from webgpu_msm_tpu.utils import fixtures
 def _to_niels_stacked(planes):
     from webgpu_msm_tpu.ops import curve_ops
 
-    return curve_ops.to_niels_planes(jnp.asarray(planes))
+    # jit: eager digit-plane chains dispatch thousands of single-op
+    # XLA:CPU compiles (round-4 compile diet)
+    return jax.jit(curve_ops.to_niels_planes)(jnp.asarray(planes))
+
+
+@jax.jit
+def _from_mont_stacked(wsums):
+    return jnp.stack(
+        [limbs.stack(field_ops.from_mont(limbs.unstack(wsums[i]))) for i in range(4)]
+    )
 
 
 def _decode(wsums, w):
-    out = jnp.stack(
-        [limbs.stack(field_ops.from_mont(limbs.unstack(wsums[i]))) for i in range(4)]
-    )
+    out = _from_mont_stacked(wsums)
     return curve.to_affine(combine_windows(window_sums_to_points(np.asarray(out)), w))
 
 

@@ -133,6 +133,44 @@ def test_cpu_engine_wire_marshalling(case):
     assert got == want
 
 
+def test_wire_batch_api(case):
+    """compute_msm_batch on wire-format jobs: streams through the on-device
+    marshalling path (no per-point Python), results match per-job oracle."""
+    pts, scalars, want = case
+    pw = wire_points(pts)
+    sw = convert.bigints_to_u32_be(scalars)
+    # second job: reversed scalars (different result)
+    sw2 = sw[::-1].copy()
+    want2 = m.compute_msm(pts, list(reversed(scalars)), config=CFG,
+                          engine="oracle")
+    got = m.compute_msm_batch([pw, pw], [sw, sw2], config=CFG)
+    assert (got[0].x, got[0].y) == want
+    assert (got[1].x, got[1].y) == (want2.x, want2.y)
+
+
+def test_wire_u64_overflow_rejected(case):
+    """uint64 wire arrays with words >= 2^32 must error, not truncate
+    (round-3 verdict: np.ascontiguousarray(dtype=uint32) silently dropped
+    high words and computed a wrong MSM)."""
+    pts, scalars, want = case
+    pw = wire_points(pts).astype(np.uint64)
+    sw = convert.bigints_to_u32_be(scalars).astype(np.uint64)
+
+    # in-range u64 arrays still work (value-preserving conversion)
+    got = m.compute_msm(pw, sw, config=CFG, engine="tpu")
+    assert (got.x, got.y) == want
+
+    bad_pts = pw.copy()
+    bad_pts[0, 0] |= 1 << 40
+    with pytest.raises(ValueError, match="u32 range"):
+        m.compute_msm(bad_pts, sw, config=CFG, engine="tpu")
+
+    bad_sc = sw.copy()
+    bad_sc[0, 0] |= 1 << 40
+    with pytest.raises(ValueError, match="u32 range"):
+        m.compute_msm(pw, bad_sc, config=CFG, engine="tpu")
+
+
 def test_wire_fast_path_errors_propagate(case, monkeypatch):
     """Defects inside the fast path must surface, not be swallowed."""
     from webgpu_msm_tpu.engines import tpu_engine

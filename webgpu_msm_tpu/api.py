@@ -72,15 +72,20 @@ def _warn_if_not_tpu() -> None:
 def _wire_fast_path_ok(points: np.ndarray, scalars: np.ndarray) -> bool:
     """Preconditions for msm_affine_wire, checked explicitly up front so the
     fast path never swallows real errors (round-1 advice: the old
-    `except ValueError: pass` hid marshalling bugs)."""
-    if points.dtype != np.uint32 and points.dtype != np.uint64:
+    `except ValueError: pass` hid marshalling bugs). Integer arrays wider
+    than u32 are range-validated — values >= 2^32 raise instead of being
+    silently truncated into a wrong answer (round-3 verdict finding)."""
+    if not np.issubdtype(points.dtype, np.integer):
         return False
     if points.size == 0 or points.size % 32 != 0:
         return False
     if scalars.size != points.size // 4:  # n*8 scalar words vs n*32 point words
         return False
-    z = np.ascontiguousarray(points, dtype=np.uint32).reshape(-1, 32)[:, 24:32]
-    return bool(np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1))
+    z = convert.as_u32_array(points, "wire points").reshape(-1, 32)[:, 24:32]
+    if not (np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1)):
+        return False
+    convert.as_u32_array(scalars, "wire scalars")  # range check; raises on u64 overflow
+    return True
 
 
 def _normalize_scalars(scalars: Any) -> list[int]:
@@ -97,7 +102,7 @@ def _normalize_scalars(scalars: Any) -> list[int]:
 
 def _normalize_points(points: Any) -> list[ExtPoint]:
     if isinstance(points, np.ndarray):
-        arr = np.asarray(points, dtype=np.uint32).reshape(-1, 32)
+        arr = convert.as_u32_array(points, "points").reshape(-1, 32)
         xs = convert.u32_be_to_bigints(arr[:, 0:8])
         ys = convert.u32_be_to_bigints(arr[:, 8:16])
         ts = convert.u32_be_to_bigints(arr[:, 16:24])
@@ -211,9 +216,27 @@ def compute_msm_batch(
     config: Optional[MSMConfig] = None,
 ) -> list[AffinePoint]:
     """Batched prover workload: many MSMs, host marshalling overlapped with
-    device compute (async dispatch; SURVEY.md §7.7)."""
+    device compute (async dispatch; SURVEY.md §7.7).
+
+    When every job is wire-format ([n, 32] / [n, 8] BE u32 arrays with
+    z == 1 — the reference's primary input form, README.md:66-96), the whole
+    batch streams through the on-device-marshalling wire path with no
+    per-point Python conversion; otherwise inputs are normalized per job.
+    """
     config = config or MSMConfig()
     from .engines import tpu_engine
+
+    if points_list and all(
+        isinstance(p, np.ndarray)
+        and isinstance(s, np.ndarray)
+        and _wire_fast_path_ok(p, s)
+        for p, s in zip(points_list, scalars_list)
+    ):
+        wire_jobs = list(zip(points_list, scalars_list))
+        return [
+            AffinePoint(x, y)
+            for x, y in tpu_engine.msm_affine_batch_wire(wire_jobs, config)
+        ]
 
     jobs = [
         (_normalize_points(p), _normalize_scalars(s))

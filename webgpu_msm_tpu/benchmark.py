@@ -25,15 +25,12 @@ from .oracle.testdata import base_point
 
 
 def _case(n: int, seed: int = 99):
+    from .utils import convert
+
     rng = np.random.default_rng(seed)
     raw = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
     raw[:, 0] &= 0x1FFFFFFF  # < 2^253 (row-major BE-ish; only sum matters)
-    scalars = []
-    for i in range(n):
-        v = 0
-        for w in range(8):
-            v = (v << 32) | int(raw[i, w])
-        scalars.append(v)
+    scalars = convert.u32_be_to_bigints(raw.astype(np.uint32))
     b = base_point()
     expected = curve.to_affine(curve.scalar_mul(b, sum(scalars)))
     return [b] * n, scalars, expected
@@ -103,6 +100,7 @@ def run_ratio_sweep(
     for ratio in ratios:
         cfg = MSMConfig(cpu_work_ratio=ratio)
         engine = "hybrid" if 0 < ratio else "tpu"
+        label = f"hybrid(ratio={ratio})" if 0 < ratio else "tpu"
         try:
             res = compute_msm(pw, sw, config=cfg, engine=engine)  # warm-up
             times = []
@@ -118,13 +116,13 @@ def run_ratio_sweep(
         rows.append(
             {
                 "inputSize": n_pow,
-                "msmFunc": f"hybrid(ratio={ratio})",
+                "msmFunc": label,
                 "timeMS": round(ms, 2),
                 "correct": ok,
             }
         )
         mark = "✓" if ok else "✗"
-        print(f"2^{n_pow:<3d} ratio={ratio:<5} {ms:10.1f} ms  {mark}")
+        print(f"2^{n_pow:<3d} {label:20s} {ms:10.1f} ms  {mark}")
     best = min((r for r in rows if r["correct"]), key=lambda r: r["timeMS"])
     print(f"best split: {best['msmFunc']} at {best['timeMS']} ms")
     return rows
@@ -145,7 +143,29 @@ def main() -> int:
         action="store_true",
         help="sweep cpu_work_ratio splits on wire inputs (DESIGN.md:7-20)",
     )
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="multi-chip scaling report: analytic ICI payload model + "
+        "virtual-mesh weak-scaling trend (parallel/scaling.py)",
+    )
     args = ap.parse_args()
+
+    if args.scaling:
+        # subprocess: the virtual 8-device CPU mesh needs XLA_FLAGS set
+        # before the backend initializes.
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        return subprocess.call(
+            [sys.executable, "-m", "webgpu_msm_tpu.parallel.scaling"], env=env
+        )
     sizes = [int(s) for s in args.sizes.split(",")]
     engines = args.engines.split(",")
     windows = list(SUPPORTED_WINDOW_SIZES) if args.window_sweep else None

@@ -22,69 +22,132 @@ from ..ops import field_ops, limbs, pippenger, windows
 from ..utils import convert
 
 
-def _device_msm_impl(points_plain, scalar_words, *, window_size, n_chunks,
-                     chunk_len, signed_digits=False):
-    """[3, 16, n] plain-domain affine coords + [8, n] scalars -> [4, 16, K] plain."""
+# ---------------------------------------------------------------------------
+# Staged device pipeline (round-4 compile diet).
+#
+# The MSM runs as a host-driven chain of SMALL compiled programs instead of
+# one monolithic jit: per-batch "accumulate" programs (to_niels + window
+# split + sorted segmented scan + bucket assembly + carry add) and ONE
+# "finish" program (bucket reduction + from_mont). Why:
+#
+# - Compile cost is superlinear in module size; the r2-profiled monolith
+#   (DESIGN.md "Compile-time budget") paid ~180 s cold. Stages compile
+#   independently and the persistent cache gets reusable pieces.
+# - One batch program serves EVERY input size that shares (w, C, L): the
+#   host loops over batches, carrying a device-resident bucket array —
+#   2^16..2^20 inputs all hit the same two executables.
+# - The planes path and the wire path share the same finish program.
+#
+# Dispatch is async, so the host loop costs nothing on the device timeline
+# (the reference's double-buffered staging, gpu.ts:146-155, at batch
+# granularity — transfers overlap compute when inputs come from the host).
+# ---------------------------------------------------------------------------
+
+
+def _to_niels_any(points_plain):
     from ..ops import curve_ops
 
     n = points_plain.shape[-1]
     if jax.default_backend() == "tpu" and n % 1024 == 0:
         from ..ops.pallas import padd_kernels
 
-        pts_niels = padd_kernels.to_niels(points_plain)
-    else:
-        pts_niels = curve_ops.to_niels_planes(points_plain)
-    wsums_mont = pippenger.accumulate_and_reduce(
-        pts_niels,
-        scalar_words,
-        window_size=window_size,
-        n_chunks=n_chunks,
-        chunk_len=chunk_len,
-        signed_digits=signed_digits,
+        return padd_kernels.to_niels(points_plain)
+    return curve_ops.to_niels_planes(points_plain)
+
+
+def _batch_planes_impl(points_plain, scalar_words, carry_st, *, window_size,
+                       n_chunks, chunk_len, signed_digits=False):
+    """One batch from [3, 16, M] plain planes + [8, M] scalars -> carry +=
+    this batch's bucket sums [4, 16, K, B]."""
+    pts_niels = _to_niels_any(points_plain)
+    bsums = pippenger.accumulate_batch(
+        pts_niels, scalar_words, window_size=window_size, n_chunks=n_chunks,
+        chunk_len=chunk_len, signed_digits=signed_digits,
     )
-    out = jnp.stack(
+    return pippenger._vadd(carry_st, bsums)
+
+
+def _finish_impl(carry_st):
+    """Bucket arrays -> window sums [4, 16, K], plain domain."""
+    wsums_mont = pippenger.reduce_buckets(carry_st)
+    return jnp.stack(
         [
             limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
             for i in range(4)
         ]
     )
-    return out
 
 
-_device_msm_jit = functools.partial(
-    jax.jit,
-    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
-)(_device_msm_impl)
+_JIT_STAGES: dict = {}
+
+
+def _call_stage(name: str, fn, static_kw: dict, *args):
+    """Run one pipeline stage through the best program cache for the backend:
+    jax.export AOT artifacts on TPU (zero retracing across processes), a
+    per-process jit cache elsewhere. `name` must encode every static in
+    `static_kw` (it keys both caches)."""
+    if jax.default_backend() == "tpu":
+        from ..utils.cache import exported_call
+
+        return exported_call(name, functools.partial(fn, **static_kw), *args)
+    jitted = _JIT_STAGES.get(name)
+    if jitted is None:
+        jitted = jax.jit(functools.partial(fn, **static_kw))
+        _JIT_STAGES[name] = jitted
+    return jitted(*args)
+
+
+def _identity_carry(window_size: int, signed_digits: bool) -> jnp.ndarray:
+    """[4, 16, K, B] identity-point bucket carry, built host-side."""
+    K = windows.n_windows(window_size)
+    B = pippenger.n_buckets(window_size, signed_digits)
+    return jnp.broadcast_to(
+        jnp.asarray(
+            np.stack(
+                [
+                    np.zeros((16,), np.uint32),
+                    _R_PLANES,
+                    np.zeros((16,), np.uint32),
+                    _R_PLANES,
+                ]
+            )[:, :, None, None]
+        ),
+        (4, 16, K, B),
+    )
 
 
 def _device_msm(points_plain, scalar_words, *, window_size, n_chunks,
                 chunk_len, signed_digits=False):
-    """Device MSM dispatch through the AOT program cache.
+    """Staged device MSM over [3, 16, n] plain planes + [8, n] scalars.
 
-    Tracing + lowering the pipeline costs ~73 s per fresh process at the
-    production shape (scripts/profile_compile.py); on TPU the traced
-    program is serialized via jax.export and re-used across processes
-    (utils/cache.exported_call), so warm starts skip Python tracing
-    entirely and the backend compile hits jax's persistent cache. Non-TPU
-    backends (tests, interpret mode) use plain jit.
+    numpy inputs are device_put per batch (host->device transfer of batch
+    k+1 streams while batch k computes); device inputs are sliced on device.
     """
-    if jax.default_backend() != "tpu":
-        return _device_msm_jit(
-            points_plain, scalar_words, window_size=window_size,
-            n_chunks=n_chunks, chunk_len=chunk_len,
-            signed_digits=signed_digits,
-        )
-    from ..utils.cache import exported_call
-
-    fn = functools.partial(
-        _device_msm_impl, window_size=window_size, n_chunks=n_chunks,
-        chunk_len=chunk_len, signed_digits=signed_digits,
+    M = n_chunks * chunk_len
+    n = points_plain.shape[-1]
+    assert n % M == 0, (n, M)
+    carry = _identity_carry(window_size, signed_digits)
+    static = dict(
+        window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+        signed_digits=signed_digits,
     )
-    name = (
-        f"device_msm_w{window_size}_c{n_chunks}x{chunk_len}"
+    bname = (
+        f"batch_planes_w{window_size}_c{n_chunks}x{chunk_len}"
         f"_s{int(signed_digits)}"
     )
-    return exported_call(name, fn, points_plain, scalar_words)
+    host_input = isinstance(points_plain, np.ndarray)
+    for b in range(n // M):
+        sl = slice(b * M, (b + 1) * M)
+        if host_input:
+            pts_b = jax.device_put(np.ascontiguousarray(points_plain[:, :, sl]))
+            sc_b = jax.device_put(np.ascontiguousarray(scalar_words[:, sl]))
+        else:
+            pts_b = points_plain[:, :, sl]
+            sc_b = scalar_words[:, sl]
+        carry = _call_stage(bname, _batch_planes_impl, static, pts_b, sc_b, carry)
+    return _call_stage(
+        f"finish_w{window_size}_s{int(signed_digits)}", _finish_impl, {}, carry
+    )
 
 
 def marshal_points(points: Sequence[ExtPoint], pad_to: int) -> np.ndarray:
@@ -239,68 +302,9 @@ def _be_cols_to_planes_j(cols: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=1).reshape(16, -1)
 
 
-def _device_msm_wire_impl(xy_be, scalars_be, *, window_size, n_chunks,
-                          chunk_len, signed_digits=False):
-    """Device-side wire marshalling: [pad, 16] BE x||y rows + [pad, 8] BE
-    scalar rows -> window sums [4, 16, K] plain.
-
-    The BE->digit-plane unpack, the Montgomery conversion, AND t = x*y all
-    happen on device — the host only slices/pads the incoming wire arrays,
-    so the wall clock pays one (half-width) transfer and no numpy marshal
-    (the reference's 8 convert workers, submission.ts:50-74, reduced to
-    zero host work).
-    """
-    from ..ops import curve_ops
-
-    x = _be_cols_to_planes_j(xy_be[:, :8])
-    y = _be_cols_to_planes_j(xy_be[:, 8:])
-    n = x.shape[-1]
-    if jax.default_backend() == "tpu" and n % 1024 == 0:
-        from ..ops.pallas import padd_kernels
-
-        pts_niels = padd_kernels.to_niels_xy(jnp.stack([x, y]))
-    else:
-        pts_niels = curve_ops.to_niels_from_xy(x, y)
-    sw = convert_be_rows_to_words_le_j(scalars_be)
-    wsums_mont = pippenger.accumulate_and_reduce(
-        pts_niels,
-        sw,
-        window_size=window_size,
-        n_chunks=n_chunks,
-        chunk_len=chunk_len,
-        signed_digits=signed_digits,
-    )
-    return jnp.stack(
-        [
-            limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
-            for i in range(4)
-        ]
-    )
-
-
 def convert_be_rows_to_words_le_j(be_rows: jnp.ndarray) -> jnp.ndarray:
     """[n, 8] BE u32 rows -> [8, n] LE words (device-side)."""
     return be_rows[:, ::-1].T
-
-
-_device_msm_wire_jit = functools.partial(
-    jax.jit,
-    static_argnames=("window_size", "n_chunks", "chunk_len", "signed_digits"),
-)(_device_msm_wire_impl)
-
-
-def _device_msm_wire(xy_be, scalars_be, **kw):
-    if jax.default_backend() != "tpu":
-        return _device_msm_wire_jit(xy_be, scalars_be, **kw)
-    from ..utils.cache import exported_call
-
-    name = (
-        f"device_msm_wire_w{kw['window_size']}_c{kw['n_chunks']}x"
-        f"{kw['chunk_len']}_s{int(kw.get('signed_digits', False))}"
-    )
-    return exported_call(
-        name, functools.partial(_device_msm_wire_impl, **kw), xy_be, scalars_be
-    )
 
 
 def _wire_niels(xy_be):
@@ -328,65 +332,36 @@ def _wire_batch_impl(xy_be, scalars_be, carry_st, *, window_size, n_chunks,
     return pippenger._vadd(carry_st, bsums)
 
 
-def _wire_finish_impl(carry_st):
-    wsums_mont = pippenger.reduce_buckets(carry_st)
-    return jnp.stack(
-        [
-            limbs.stack(field_ops.from_mont(limbs.unstack(wsums_mont[i])))
-            for i in range(4)
-        ]
-    )
-
-
-def _device_msm_wire_streamed(xy: np.ndarray, sc: np.ndarray, *, window_size,
-                              n_chunks, chunk_len, signed_digits):
-    """Multi-batch wire MSM with transfer/compute overlap.
+def _device_msm_wire_staged(xy: np.ndarray, sc: np.ndarray, *, window_size,
+                            n_chunks, chunk_len, signed_digits):
+    """Wire MSM as the staged pipeline, with transfer/compute overlap.
 
     Each batch's (xy, scalars) rows are device_put-dispatched and the
     batch program queued without any host sync, so the runtime streams
     batch k+1's host->device transfer while batch k computes — the
     reference's double-buffered staging (gpu.ts:146-155 / DESIGN.md:
     117-124) at transfer granularity. The bucket-array carry stays
-    device-resident; one finish program reduces it.
+    device-resident; the shared finish program reduces it.
     """
-    from ..ops import curve_ops, windows
-    from ..utils.cache import exported_call
-
     M = n_chunks * chunk_len
     n = xy.shape[0]
     assert n % M == 0, (n, M)
-    K = windows.n_windows(window_size)
-    B = pippenger.n_buckets(window_size, signed_digits)
-    carry = jnp.broadcast_to(
-        jnp.asarray(
-            np.stack(
-                [
-                    np.zeros((16,), np.uint32),
-                    _R_PLANES,
-                    np.zeros((16,), np.uint32),
-                    _R_PLANES,
-                ]
-            )[:, :, None, None]
-        ),
-        (4, 16, K, B),
-    )
-    batch_kw = dict(
+    carry = _identity_carry(window_size, signed_digits)
+    static = dict(
         window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
         signed_digits=signed_digits,
     )
-    name = (
+    bname = (
         f"wire_batch_w{window_size}_c{n_chunks}x{chunk_len}"
         f"_s{int(signed_digits)}"
     )
     for b in range(n // M):
-        dxy = jax.device_put(xy[b * M : (b + 1) * M])
-        dsc = jax.device_put(sc[b * M : (b + 1) * M])
-        carry = exported_call(
-            name, functools.partial(_wire_batch_impl, **batch_kw),
-            dxy, dsc, carry,
-        )
-    return exported_call(f"wire_finish_w{window_size}_s{int(signed_digits)}",
-                         _wire_finish_impl, carry)
+        dxy = jax.device_put(np.ascontiguousarray(xy[b * M : (b + 1) * M]))
+        dsc = jax.device_put(np.ascontiguousarray(sc[b * M : (b + 1) * M]))
+        carry = _call_stage(bname, _wire_batch_impl, static, dxy, dsc, carry)
+    return _call_stage(
+        f"finish_w{window_size}_s{int(signed_digits)}", _finish_impl, {}, carry
+    )
 
 
 # 16-bit digit planes of R mod p (the Montgomery-domain 1 of the identity
@@ -402,24 +377,22 @@ def _r_planes() -> np.ndarray:
 _R_PLANES = _r_planes()
 
 
-def msm_affine_wire(
-    points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z
-    scalars_be: np.ndarray,  # [n, 8] u32 BE rows
-    config: MSMConfig,
-) -> tuple[int, int]:
-    """Wire-format (U32Array) fast path: marshalling ON DEVICE.
+def _dispatch_wire(
+    points_be: np.ndarray, scalars_be: np.ndarray, config: MSMConfig
+):
+    """Validate + pad wire inputs and dispatch the device pipeline.
 
-    The reference parallelizes bigint->u32 conversion across 8 workers
-    (submission.ts:50-74, convert_worker.ts); here the host only slices
-    x||y out of the rows and pads — unpacking, Montgomery conversion and
-    t = x*y run inside the device program. Requires z == 1 (extended
-    affine, README.md:66-96); callers fall back to the generic path
-    otherwise.
-    """
-    from ..utils import trace
+    Returns (out_device, window_size) WITHOUT fetching: JAX dispatch is
+    async, so callers can queue many jobs before paying any device->host
+    sync (the batched-prover pattern, SURVEY.md §7.7)."""
+    from ..utils import convert, trace
 
-    points_be = np.ascontiguousarray(points_be, dtype=np.uint32).reshape(-1, 32)
-    scalars_be = np.ascontiguousarray(scalars_be, dtype=np.uint32).reshape(-1, 8)
+    points_be = np.ascontiguousarray(
+        convert.as_u32_array(points_be, "wire points")
+    ).reshape(-1, 32)
+    scalars_be = np.ascontiguousarray(
+        convert.as_u32_array(scalars_be, "wire scalars")
+    ).reshape(-1, 8)
     n = points_be.shape[0]
     z = points_be[:, 24:32]
     if not (np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1)):
@@ -440,20 +413,48 @@ def msm_affine_wire(
             np.all(scalars_be[:, 0] < (1 << 29))
         )
     with trace.phase("device msm (wire)"):
-        if pad_to > C * L and jax.default_backend() == "tpu":
-            out = _device_msm_wire_streamed(
-                xy, sc, window_size=w, n_chunks=C, chunk_len=L,
-                signed_digits=signed,
-            )
-        else:
-            out = _device_msm_wire(
-                jnp.asarray(xy),
-                jnp.asarray(sc),
-                window_size=w,
-                n_chunks=C,
-                chunk_len=L,
-                signed_digits=signed,
-            )
-        out_host = np.asarray(out)
-    result = combine_windows(window_sums_to_points(out_host), w)
+        out = _device_msm_wire_staged(
+            xy, sc, window_size=w, n_chunks=C, chunk_len=L,
+            signed_digits=signed,
+        )
+    return out, w
+
+
+def msm_affine_wire(
+    points_be: np.ndarray,  # [n, 32] u32 BE rows: x || y || t || z
+    scalars_be: np.ndarray,  # [n, 8] u32 BE rows
+    config: MSMConfig,
+) -> tuple[int, int]:
+    """Wire-format (U32Array) fast path: marshalling ON DEVICE.
+
+    The reference parallelizes bigint->u32 conversion across 8 workers
+    (submission.ts:50-74, convert_worker.ts); here the host only slices
+    x||y out of the rows and pads — unpacking, Montgomery conversion and
+    t = x*y run inside the device program. Requires z == 1 (extended
+    affine, README.md:66-96); callers fall back to the generic path
+    otherwise.
+    """
+    out, w = _dispatch_wire(points_be, scalars_be, config)
+    result = combine_windows(window_sums_to_points(np.asarray(out)), w)
     return ocurve.to_affine(result)
+
+
+def msm_affine_batch_wire(
+    jobs: Sequence[tuple[np.ndarray, np.ndarray]], config: MSMConfig
+) -> list[tuple[int, int]]:
+    """Streaming prover workload over WIRE inputs: every job's transfers and
+    device programs are dispatched (streamed, transfer overlapped with
+    compute) before any result is fetched — the reference's double-buffered
+    staging (gpu.ts:146-155) at job granularity, with zero per-point Python
+    marshalling (round-3 verdict #4: the list-based batch path re-paid the
+    bigint marshal the wire path exists to delete)."""
+    dispatched = [
+        _dispatch_wire(points_be, scalars_be, config)
+        for points_be, scalars_be in jobs
+    ]
+    return [
+        ocurve.to_affine(
+            combine_windows(window_sums_to_points(np.asarray(out)), w)
+        )
+        for out, w in dispatched
+    ]

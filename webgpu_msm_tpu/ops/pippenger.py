@@ -157,13 +157,7 @@ def accumulate_buckets(
     assert n % M == 0, (n, C, L)
     n_batches = n // M
 
-    if signed_digits:
-        # |digit| buckets with the sign packed into bit 31 of the id; the
-        # run-segmentation and searchsorted logic see buckets only.
-        buckets, sgn = windows.split_windows_signed(scalar_words, w)
-        digits = buckets | (sgn << 31)
-    else:
-        digits = windows.split_windows(scalar_words, w)  # [K, n]
+    digits = compute_digits(scalar_words, w, signed_digits)  # [K, n]
     if n_batches == 1:
         return _accumulate_batch(points, digits, w, C, L, B)
 
@@ -180,6 +174,27 @@ def accumulate_buckets(
     return total
 
 
+def compute_digits(
+    scalar_words: jnp.ndarray, window_size: int, signed_digits: bool
+) -> jnp.ndarray:
+    """[8, n] LE scalar words -> [K, n] bucket ids (sign flag in bit 31).
+
+    Signed recoding packs |digit| buckets with the sign in bit 31 so the
+    run-segmentation and histogram logic see bucket ids only.
+    """
+    if signed_digits:
+        buckets, sgn = windows.split_windows_signed(scalar_words, window_size)
+        return buckets | (sgn << 31)
+    return windows.split_windows(scalar_words, window_size)
+
+
+def identity_buckets(window_size: int, signed_digits: bool) -> jnp.ndarray:
+    """Stacked identity bucket array [4, 16, K, B] (the batch-loop carry)."""
+    K = windows.n_windows(window_size)
+    B = n_buckets(window_size, signed_digits)
+    return curve_ops.identity((K, B)).stacked()
+
+
 def n_buckets(window_size: int, signed_digits: bool) -> int:
     """Bucket-array width: 2^w unsigned; |digit| <= 2^(w-1) signed, padded
     to a multiple of 32 for the grouped reduction."""
@@ -187,6 +202,29 @@ def n_buckets(window_size: int, signed_digits: bool) -> int:
         return 1 << window_size
     b = (1 << (window_size - 1)) + 1
     return -(-b // 32) * 32
+
+
+def accumulate_batch(
+    points_niels: jnp.ndarray,  # [3, 16, M] Montgomery Niels planes
+    scalar_words: jnp.ndarray,  # [8, M] uint32 LE words
+    *,
+    window_size: int,
+    n_chunks: int,
+    chunk_len: int,
+    signed_digits: bool = False,
+) -> jnp.ndarray:
+    """ONE batch -> bucket sums [4, 16, K, B] (Montgomery).
+
+    The single-stage building block of the staged pipeline: engines loop
+    over batches on the host (async dispatch), adding each batch's bucket
+    array into a device-resident carry, so one compiled program serves every
+    input size sharing (w, C, L) — the round-4 compile-diet restructuring.
+    """
+    digits = compute_digits(scalar_words, window_size, signed_digits)
+    return _accumulate_batch(
+        points_niels, digits, window_size, n_chunks, chunk_len,
+        n_buckets(window_size, signed_digits),
+    )
 
 
 def _accumulate_batch(
@@ -418,9 +456,19 @@ def reduce_buckets(bucket_sums: jnp.ndarray, group_size: int = 0) -> jnp.ndarray
     """
     K, B = bucket_sums.shape[-2], bucket_sums.shape[-1]
     if group_size <= 0:
-        # Balance the Gs-step sequential chain against per-step lane count
-        # K*G; Gs = 32 keeps depth short while G = B/32 lanes fill the VPU.
-        group_size = 32 if B >= 1024 else (16 if B >= 64 else 1)
+        if jax.default_backend() == "tpu":
+            # Balance the Gs-step sequential chain against per-step lane
+            # count K*G; Gs = 32 keeps depth short while G = B/32 lanes
+            # fill the VPU.
+            group_size = 32 if B >= 1024 else (16 if B >= 64 else 1)
+        else:
+            # Non-TPU backends (tests, the multichip dryrun) default to the
+            # pure suffix scan: its module has ~3x fewer point-add graph
+            # instantiations, which is what XLA:CPU compile time scales
+            # with (round-4 compile diet; the grouped fallback stays
+            # reachable via explicit group_size and is equivalence-tested
+            # in tests/test_pallas_kernels.py).
+            group_size = 1
     if group_size > 1:
         assert B % group_size == 0, (B, group_size)
         G = B // group_size

@@ -67,7 +67,7 @@ def main(argv: list[str]) -> int:
     from ..oracle.msm import combine_windows
     from ..ops import curve_ops, field_ops, limbs
     from ..utils import fixtures
-    from .msm_sharded import AXIS, msm_window_sums_sharded
+    from .msm_sharded import AXIS, sharded_stages
 
     mesh = distributed.global_mesh()
     D = nproc * local_devices
@@ -79,7 +79,7 @@ def main(argv: list[str]) -> int:
     scalars = fixtures.random_scalars(n_global, seed=6)
     planes = marshal_points(pts, n_global)
     words = marshal_scalars(scalars, n_global)
-    niels = np.asarray(curve_ops.to_niels_planes(jnp.asarray(planes)))
+    niels = np.asarray(jax.jit(curve_ops.to_niels_planes)(jnp.asarray(planes)))
 
     # Feed only this host's slice; assemble the global sharded arrays.
     sl = distributed.host_local_slice(n_global)
@@ -90,29 +90,42 @@ def main(argv: list[str]) -> int:
         NamedSharding(mesh, P(None, AXIS)), words[:, sl]
     )
 
-    # Compile ahead-of-time, then barrier before the first execution: gloo
-    # context init (at first collective) has a ~30 s peer timeout, and
-    # per-process XLA:CPU compiles can skew by minutes on small hosts.
-    print(f"[worker {pid}] compiling", flush=True)
-    compiled = msm_window_sums_sharded.lower(
-        gpts, gsc, window_size=W, n_chunks=C, chunk_len=L, mesh=mesh,
-        mode=mode,
-    ).compile()
+    # The staged pipeline has exactly one collective stage ("combine").
+    # Collective-free stages compile AND execute freely (per-process compile
+    # skew is harmless there); the combine stage is AOT-compiled, then all
+    # processes barrier before executing it — gloo context init (at the
+    # first collective) has a ~30 s peer timeout, and per-process XLA:CPU
+    # compiles can skew by minutes on small hosts.
+    print(f"[worker {pid}] compiling/running pre-collective stages", flush=True)
+    stages = sharded_stages(
+        window_size=W, n_chunks=C, chunk_len=L, mesh=mesh, mode=mode
+    )
+    out = stages[0][1](gpts, gsc)
+    idx = 1
+    while stages[idx][0] != "combine":
+        out = stages[idx][1](out)
+        idx += 1
+    out.block_until_ready()
+    combine_compiled = stages[idx][1].lower(out).compile()
     from jax._src import distributed as _jdist
 
     _jdist.global_state.client.wait_at_barrier(
         "msm_compiled", timeout_in_ms=3_600_000
     )
-    print(f"[worker {pid}] compiled; running", flush=True)
-    wsums = compiled(gpts, gsc)
+    print(f"[worker {pid}] compiled; running collective", flush=True)
+    wsums = combine_compiled(out)
+    for _, fn in stages[idx + 1 :]:
+        wsums = fn(wsums)
     wsums.block_until_ready()
     print(f"[worker {pid}] device step done", flush=True)
-    out = jnp.stack(
-        [
-            limbs.stack(field_ops.from_mont(limbs.unstack(wsums[i])))
-            for i in range(4)
-        ]
-    )
+    out = jax.jit(
+        lambda ws: jnp.stack(
+            [
+                limbs.stack(field_ops.from_mont(limbs.unstack(ws[i])))
+                for i in range(4)
+            ]
+        )
+    )(wsums)
     got = curve.to_affine(
         combine_windows(window_sums_to_points(np.asarray(out)), W)
     )

@@ -60,31 +60,135 @@ def tree_add_points(stacked: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0]
 
 
-def _local_window_sums(pts, sw, *, window_size, n_chunks, chunk_len, mode,
-                       signed_digits):
-    """Per-device shard -> replicated combined window sums [4, 16, K]."""
-    if mode == "buckets":
-        local = pippenger.accumulate_buckets(
-            pts, sw, window_size=window_size, n_chunks=n_chunks,
-            chunk_len=chunk_len, signed_digits=signed_digits,
-        )  # [4, 16, K, B]
-        gathered = jax.lax.all_gather(local, AXIS)  # [D, 4, 16, K, B]
-        combined = tree_add_points(gathered)
-        return pippenger.reduce_buckets(combined)
-    local = pippenger.accumulate_and_reduce(
+# ---------------------------------------------------------------------------
+# Staged sharded pipeline (round-4 compile diet): the sharded MSM runs as a
+# chain of independently-jitted programs instead of one monolithic
+# shard_map — XLA compile cost is superlinear in module size, and the
+# monolith's XLA:CPU compile blew the dryrun budget on cold machines
+# (MULTICHIP_r03 rc=124). window_sums mode: [accumulate+local-reduce,
+# gather+combine]; buckets mode: [accumulate, gather+combine, reduce].
+# Per-device intermediates keep a leading length-1 device axis so stage
+# boundaries stay sharded (out_specs P(AXIS)); exactly ONE stage holds the
+# collective.
+# ---------------------------------------------------------------------------
+
+
+def _stage_accumulate(pts, sw, *, window_size, n_chunks, chunk_len,
+                      signed_digits):
+    """local shard -> [1, 4, 16, K, B] local bucket sums."""
+    return pippenger.accumulate_buckets(
         pts, sw, window_size=window_size, n_chunks=n_chunks,
         chunk_len=chunk_len, signed_digits=signed_digits,
-    )  # [4, 16, K]
-    gathered = jax.lax.all_gather(local, AXIS)  # [D, 4, 16, K]
+    )[None]
+
+
+def _stage_accumulate_reduce(pts, sw, *, window_size, n_chunks, chunk_len,
+                             signed_digits):
+    """local shard -> [1, 4, 16, K] fully-reduced local window sums.
+
+    Accumulate and the local bucket reduction are ONE stage: lowering a
+    stage whose input is the [D, ...]-sharded bucket array costs 6-8x more
+    XLA:CPU compile time than the same body reached through the point-
+    sharded inputs (measured: 431 s vs ~70 s for the reduce body alone,
+    scripts/bench_cpu_compile.py) — so the window_sums pipeline keeps the
+    bucket array internal to the stage."""
+    bsums = pippenger.accumulate_buckets(
+        pts, sw, window_size=window_size, n_chunks=n_chunks,
+        chunk_len=chunk_len, signed_digits=signed_digits,
+    )
+    return pippenger.reduce_buckets(bsums)[None]
+
+
+def _stage_gather_combine(local):
+    """[1, 4, 16, *rest] per-device partials -> replicated group sum.
+
+    The only collective in the pipeline: all_gather over the point axis
+    followed by the log-depth group-law tree (payload choice per mode —
+    window sums [4,16,K] or raw buckets [4,16,K,B], SURVEY.md §5.8)."""
+    gathered = jax.lax.all_gather(local[0], AXIS)  # [D, 4, 16, *rest]
     return tree_add_points(gathered)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "window_size", "n_chunks", "chunk_len", "mesh", "mode", "signed_digits"
-    ),
-)
+_STAGE_JITS: dict = {}
+
+
+def _use_stage_exports() -> bool:
+    """Route single-process sharded stages through the jax.export AOT cache
+    (utils/cache.exported_call): committed aot/ artifacts then let a cold
+    machine skip tracing the sharded programs entirely. Multi-process runs
+    keep plain jit (exports bake in a single-process device assignment)."""
+    import os
+
+    return (
+        os.environ.get("MSM_NO_EXPORT_CACHE") != "1"
+        and jax.process_count() == 1
+    )
+
+
+def _sharded_stage(name: str, fn, mesh: Mesh, in_specs, out_specs, **static):
+    """jit(shard_map(...)) per (statics, mesh), cached."""
+    key = (name, mesh, tuple(sorted(static.items())))
+    jitted = _STAGE_JITS.get(key)
+    if jitted is None:
+        jitted = jax.jit(
+            jax.shard_map(
+                functools.partial(fn, **static) if static else fn,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        _STAGE_JITS[key] = jitted
+    if not _use_stage_exports():
+        return jitted
+
+    from ..utils.cache import exported_call
+
+    stat = "_".join(f"{k}{v}" for k, v in sorted(static.items()))
+    ename = f"sharded_{name}_D{mesh.size}_{jax.default_backend()}_{stat}"
+
+    def call(*args):
+        return exported_call(ename, jitted, *args)
+
+    return call
+
+
+def sharded_stages(
+    *, window_size, n_chunks, chunk_len, mesh, mode="window_sums",
+    signed_digits=False,
+):
+    """The ordered list of (name, jitted_fn) stages of the sharded MSM.
+
+    Exposed so multi-host workers can AOT-compile every stage before the
+    first collective executes (gloo peers must not skew by whole-module
+    compile times)."""
+    combine = _sharded_stage(
+        "combine", _stage_gather_combine, mesh, (P(AXIS),), P()
+    )
+    if mode == "buckets":
+        acc = _sharded_stage(
+            "acc", _stage_accumulate, mesh,
+            (P(None, None, AXIS), P(None, AXIS)), P(AXIS),
+            window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+            signed_digits=signed_digits,
+        )
+        # gather raw bucket arrays, tree-add, reduce once (replicated)
+        reduce_rep = _STAGE_JITS.get(("reduce_rep", mesh))
+        if reduce_rep is None:
+            reduce_rep = jax.jit(pippenger.reduce_buckets)
+            _STAGE_JITS[("reduce_rep", mesh)] = reduce_rep
+        return [("accumulate", acc), ("combine", combine),
+                ("reduce", reduce_rep)]
+    acc_red = _sharded_stage(
+        "accred", _stage_accumulate_reduce, mesh,
+        (P(None, None, AXIS), P(None, AXIS)), P(AXIS),
+        window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+        signed_digits=signed_digits,
+    )
+    return [("accumulate", acc_red), ("combine", combine)]
+
+
 def msm_window_sums_sharded(
     points: jnp.ndarray,  # [3, 16, n_global] uint32 Montgomery NIELS planes
     scalar_words: jnp.ndarray,  # [8, n_global] uint32 LE
@@ -97,21 +201,20 @@ def msm_window_sums_sharded(
     signed_digits: bool = False,
 ) -> jnp.ndarray:
     """Sharded MSM -> replicated window sums [4, 16, K] (Montgomery)."""
-    fn = jax.shard_map(
-        functools.partial(
-            _local_window_sums,
-            window_size=window_size,
-            n_chunks=n_chunks,
-            chunk_len=chunk_len,
-            mode=mode,
-            signed_digits=signed_digits,
-        ),
-        mesh=mesh,
-        in_specs=(P(None, None, AXIS), P(None, AXIS)),
-        out_specs=P(),
-        check_vma=False,
+    stages = sharded_stages(
+        window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+        mesh=mesh, mode=mode, signed_digits=signed_digits,
     )
-    return fn(points, scalar_words)
+    # Place inputs on the mesh explicitly: the exported-stage path calls
+    # AOT programs whose device assignment is baked in, so args must
+    # already carry the mesh sharding (plain jit would have inserted the
+    # same resharding implicitly).
+    points = jax.device_put(points, NamedSharding(mesh, P(None, None, AXIS)))
+    scalar_words = jax.device_put(scalar_words, NamedSharding(mesh, P(None, AXIS)))
+    out = stages[0][1](points, scalar_words)
+    for _, fn in stages[1:]:
+        out = fn(out)
+    return out
 
 
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -3,32 +3,86 @@
 Two independent costs dominate MSM pipeline startup (measured at the
 production 2^20 shape, scripts/profile_compile.py):
 
-- **Backend compile** (~106 s XLA:TPU): covered by jax's persistent
-  compilation cache (`enable_compilation_cache`) — skipped on re-runs.
-- **Trace + lower** (~73 s of Python tracing of the montmul-heavy graph):
-  paid on EVERY fresh process by plain `jax.jit`. `exported_call` removes
-  it by serializing the lowered StableHLO (`jax.export`) to disk, keyed by
+- **Backend compile**: covered by jax's persistent compilation cache
+  (`enable_compilation_cache`) — skipped on re-runs on the same machine.
+- **Trace + lower** (Python tracing of the montmul-heavy graphs): paid on
+  EVERY fresh process by plain `jax.jit`. `exported_call` removes it by
+  serializing the lowered StableHLO (`jax.export`) to disk, keyed by
   (jax version, backend, source-tree hash, shape signature); warm
   processes deserialize in ~a second and the backend compile then hits the
   persistent cache.
+
+**Committed AOT seed (`aot/` at the repo root).** Both caches normally live
+in the gitignored `.cache/`, so a fresh checkout on a new machine starts
+cold. `aot/` ships (gzipped) artifacts in git:
+
+- `aot/export/*.stablehlo.gz` — traced programs. StableHLO is machine-
+  independent; any host with the same jax version + source tree skips
+  tracing entirely.
+- `aot/jax/*.gz` — persistent-cache entries (compiled executables). TPU
+  executables are keyed to the TPU + runtime version, not host CPU
+  features, so they transfer between hosts driving the same device class;
+  XLA:CPU entries are CPU-feature-keyed and simply miss on a different
+  host (jax falls back to compiling — harmless).
+
+`scripts/pack_aot.py` populates `aot/` from a warm `.cache/`.
+
+Env overrides: MSM_CACHE_DIR (persistent cache), MSM_EXPORT_DIR (export
+cache), MSM_NO_EXPORT_CACHE=1 (bypass exports, e.g. interpret-mode tests).
 
 Safe to call multiple times.
 """
 from __future__ import annotations
 
+import gzip
 import hashlib
 import os
 from pathlib import Path
 
-_DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".cache" / "jax"
-_EXPORT_DIR = Path(__file__).resolve().parents[2] / ".cache" / "jax_export"
+_REPO = Path(__file__).resolve().parents[2]
+_DEFAULT_DIR = _REPO / ".cache" / "jax"
+_EXPORT_DIR = _REPO / ".cache" / "jax_export"
+_AOT_DIR = _REPO / "aot"
+
+
+def _export_dir() -> Path:
+    d = os.environ.get("MSM_EXPORT_DIR")
+    return Path(d) if d else _EXPORT_DIR
+
+
+def _seed_cache_from_aot(cache_dir: Path) -> None:
+    """Decompress committed aot/jax/*.gz entries into the live cache dir
+    (once per entry; existing files win)."""
+    seed = _AOT_DIR / "jax"
+    if not seed.is_dir():
+        return
+    for f in seed.glob("*.gz"):
+        dst = cache_dir / f.name[: -len(".gz")]
+        if dst.exists():
+            continue
+        try:
+            data = gzip.decompress(f.read_bytes())
+            tmp = dst.with_suffix(".tmp")
+            tmp.write_bytes(data)
+            os.replace(tmp, dst)
+        except OSError:
+            pass  # seeding is best-effort; a miss just means a compile
+
+
+_CACHE_ENABLED_DIR: str | None = None
 
 
 def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
+    global _CACHE_ENABLED_DIR
     import jax
 
+    if path is None:
+        path = os.environ.get("MSM_CACHE_DIR")
     d = Path(path) if path is not None else _DEFAULT_DIR
     d.mkdir(parents=True, exist_ok=True)
+    if str(d) != _CACHE_ENABLED_DIR:
+        _seed_cache_from_aot(d)
+        _CACHE_ENABLED_DIR = str(d)
     jax.config.update("jax_compilation_cache_dir", str(d))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -53,12 +107,35 @@ def _source_hash() -> str:
 _EXPORTED: dict[str, object] = {}
 
 
+def _load_export_bytes(name: str, key: str) -> bytes | None:
+    path = _export_dir() / f"{name}-{key}.stablehlo"
+    if path.exists():
+        return path.read_bytes()
+    seed = _AOT_DIR / "export" / f"{name}-{key}.stablehlo.gz"
+    if seed.exists():
+        try:
+            return gzip.decompress(seed.read_bytes())
+        except OSError:
+            return None
+    return None
+
+
+def export_cache_key(name: str, *args) -> str:
+    """The disk key for an exported program (also used by pack_aot)."""
+    import jax
+
+    sig = ";".join(f"{a.shape}:{a.dtype}" for a in args)
+    backend = jax.default_backend()
+    key_raw = f"{name}|{jax.__version__}|{backend}|{_source_hash()}|{sig}"
+    return hashlib.sha256(key_raw.encode()).hexdigest()[:32]
+
+
 def exported_call(name: str, fn, *args):
     """Call `fn(*args)` through a disk-cached `jax.export` artifact.
 
     `fn` must be shape-stable for the given args (the cache key includes
     every arg's shape/dtype). On a cache miss the function is traced,
-    lowered, serialized to .cache/jax_export/, and called; on a hit the
+    lowered, serialized to the export dir, and called; on a hit the
     StableHLO deserializes without any Python tracing. Set
     MSM_NO_EXPORT_CACHE=1 to bypass (e.g. under interpret-mode tests).
     """
@@ -68,20 +145,18 @@ def exported_call(name: str, fn, *args):
     if os.environ.get("MSM_NO_EXPORT_CACHE") == "1":
         return jax.jit(fn)(*args)
 
-    sig = ";".join(f"{a.shape}:{a.dtype}" for a in args)
-    backend = jax.default_backend()
-    key_raw = f"{name}|{jax.__version__}|{backend}|{_source_hash()}|{sig}"
-    key = hashlib.sha256(key_raw.encode()).hexdigest()[:32]
-
+    key = export_cache_key(name, *args)
     exp = _EXPORTED.get(key)
     if exp is None:
-        path = _EXPORT_DIR / f"{name}-{key}.stablehlo"
-        if path.exists():
-            exp = jexport.deserialize(path.read_bytes())
+        data = _load_export_bytes(name, key)
+        if data is not None:
+            exp = jexport.deserialize(data)
         else:
             shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
             exp = jexport.export(jax.jit(fn))(*shapes)
-            _EXPORT_DIR.mkdir(parents=True, exist_ok=True)
+            d = _export_dir()
+            d.mkdir(parents=True, exist_ok=True)
+            path = d / f"{name}-{key}.stablehlo"
             tmp = path.with_suffix(".tmp")
             tmp.write_bytes(exp.serialize())
             os.replace(tmp, path)

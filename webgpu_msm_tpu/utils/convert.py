@@ -30,16 +30,36 @@ def bigints_to_u32_be(values: Sequence[int]) -> np.ndarray:
     return out
 
 
+def as_u32_array(arr: np.ndarray, what: str = "input") -> np.ndarray:
+    """Convert an integer array to uint32, rejecting out-of-range values.
+
+    `np.ascontiguousarray(arr, dtype=np.uint32)` silently truncates wider
+    integer dtypes — a u64 wire array with high words set must be an error,
+    not a wrong MSM (round-3 verdict finding on api._wire_fast_path_ok).
+    """
+    a = np.asarray(arr)
+    if a.dtype == np.uint32:
+        return a
+    if not np.issubdtype(a.dtype, np.integer):
+        raise TypeError(f"{what}: expected an integer array, got dtype {a.dtype}")
+    if a.size and (int(a.min()) < 0 or int(a.max()) > 0xFFFFFFFF):
+        raise ValueError(
+            f"{what}: values outside u32 range in a {a.dtype} array; "
+            "wire-format words must each fit in 32 bits"
+        )
+    return a.astype(np.uint32)
+
+
 def u32_be_to_bigints(arr: np.ndarray) -> list[int]:
-    """[n, 8] big-endian u32 -> python ints."""
-    arr = np.asarray(arr, dtype=np.uint32).reshape(-1, N_WORDS)
-    out = []
-    for row in arr:
-        v = 0
-        for w in range(N_WORDS):
-            v = (v << 32) | int(row[w])
-        out.append(v)
-    return out
+    """[n, 8] big-endian u32 -> python ints (vectorized via a bytes view)."""
+    arr = as_u32_array(arr, "u32 BE rows").reshape(-1, N_WORDS)
+    # Reverse to LE word order; one contiguous LE byte buffer; int.from_bytes
+    # per row (C-speed) instead of 8 shift/or bigint steps per row.
+    data = np.ascontiguousarray(arr[:, ::-1]).astype("<u4").tobytes()
+    return [
+        int.from_bytes(data[i * 32 : (i + 1) * 32], "little")
+        for i in range(arr.shape[0])
+    ]
 
 
 def bigints_to_words_le(values: Sequence[int]) -> np.ndarray:
