@@ -18,13 +18,9 @@ if not _USE_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-    if "xla_backend_optimization_level" not in flags:
-        # Fast-compile flags: ~25% off XLA:CPU compile of the MSM modules
-        # (scripts/bench_cpu_compile.py); the suite is compile-bound cold.
-        flags += (
-            " --xla_backend_optimization_level=0"
-            " --xla_llvm_disable_expensive_passes=true"
-        )
+    # (XLA:CPU fast-compile flags were tried here and rejected: opt-level 0
+    # halves compile time but doubles execution time of the montmul graphs,
+    # a net loss — scripts/bench_cpu_compile.py, round 4.)
     os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -65,7 +65,7 @@ def tree_add_points(stacked: jnp.ndarray) -> jnp.ndarray:
 # chain of independently-jitted programs instead of one monolithic
 # shard_map — XLA compile cost is superlinear in module size, and the
 # monolith's XLA:CPU compile blew the dryrun budget on cold machines
-# (MULTICHIP_r03 rc=124). window_sums mode: [accumulate+local-reduce,
+# (MULTICHIP_r03 rc=124). window_sums mode: [accumulate, local-reduce,
 # gather+combine]; buckets mode: [accumulate, gather+combine, reduce].
 # Per-device intermediates keep a leading length-1 device axis so stage
 # boundaries stay sharded (out_specs P(AXIS)); exactly ONE stage holds the
@@ -82,21 +82,14 @@ def _stage_accumulate(pts, sw, *, window_size, n_chunks, chunk_len,
     )[None]
 
 
-def _stage_accumulate_reduce(pts, sw, *, window_size, n_chunks, chunk_len,
-                             signed_digits):
-    """local shard -> [1, 4, 16, K] fully-reduced local window sums.
+def _stage_reduce_local(bsums):
+    """[1, 4, 16, K, B] local buckets -> [1, 4, 16, K] local window sums.
 
-    Accumulate and the local bucket reduction are ONE stage: lowering a
-    stage whose input is the [D, ...]-sharded bucket array costs 6-8x more
-    XLA:CPU compile time than the same body reached through the point-
-    sharded inputs (measured: 431 s vs ~70 s for the reduce body alone,
-    scripts/bench_cpu_compile.py) — so the window_sums pipeline keeps the
-    bucket array internal to the stage."""
-    bsums = pippenger.accumulate_buckets(
-        pts, sw, window_size=window_size, n_chunks=n_chunks,
-        chunk_len=chunk_len, signed_digits=signed_digits,
-    )
-    return pippenger.reduce_buckets(bsums)[None]
+    A separate stage on purpose: fusing it into accumulate was measured
+    and rejected — compile cost is superlinear in module size, so the
+    fused program cost ~2x the two split compiles (round-4 dryrun A/B;
+    scripts/bench_cpu_compile.py)."""
+    return pippenger.reduce_buckets(bsums[0])[None]
 
 
 def _stage_gather_combine(local):
@@ -180,13 +173,17 @@ def sharded_stages(
             _STAGE_JITS[("reduce_rep", mesh)] = reduce_rep
         return [("accumulate", acc), ("combine", combine),
                 ("reduce", reduce_rep)]
-    acc_red = _sharded_stage(
-        "accred", _stage_accumulate_reduce, mesh,
+    acc = _sharded_stage(
+        "acc", _stage_accumulate, mesh,
         (P(None, None, AXIS), P(None, AXIS)), P(AXIS),
         window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
         signed_digits=signed_digits,
     )
-    return [("accumulate", acc_red), ("combine", combine)]
+    reduce_local = _sharded_stage(
+        "reduce", _stage_reduce_local, mesh, (P(AXIS),), P(AXIS)
+    )
+    return [("accumulate", acc), ("reduce", reduce_local),
+            ("combine", combine)]
 
 
 def msm_window_sums_sharded(
