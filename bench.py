@@ -6,10 +6,11 @@ Prints ONE JSON line:
 
 The headline metric (BASELINE.json) is MSM throughput (points/sec/chip) at
 2^20 points, bit-exact, with `vs_baseline` = speedup over the single-thread
-CPU reference (the pure-Python oracle — the analog of the reference repo's
-`cpuWorkRatio=1` arkworks path, SURVEY.md §3.3). The baseline measurement is
-cached in `.bench_baseline.json` (measured once on this machine; delete the
-file to re-measure).
+NATIVE CPU reference (runtime/csrc/msm_cpu.cpp with 1 thread — the analog
+of the reference repo's `cpuWorkRatio=1` arkworks path, SURVEY.md §3.3,
+per BASELINE.md's ">=10x single-thread CPU reference"); the pure-Python
+oracle multiplier is reported as `vs_python_oracle`. Baseline measurements
+are cached in `.bench_baseline.json` (committed; delete to re-measure).
 
 Input distribution mirrors the reference's random-input benchmark mode
 (`src/ui/AllBenchmarks.tsx:107-143`): a fixed base point repeated n times
@@ -188,6 +189,11 @@ def measure_wall(n_pow: int, iters: int, window: int | None) -> dict:
         "n": n,
         "wall_s": wall_s,
         "wall_s_all": times,
+        # the tunnel link's throughput is visibly non-stationary (observed
+        # medians 1.5-2.9 s across a day); report the spread so the scoring
+        # clock can't silently random-walk between rounds (round-3 verdict)
+        "wall_s_min": float(np.min(times)),
+        "wall_s_max": float(np.max(times)),
         "wall_points_per_s": n / wall_s,
         "bit_exact": bool(bit_exact),
     }
@@ -231,7 +237,7 @@ def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
 
     n = 1 << n_pow
     cfg = MSMConfig(window_size=window)
-    w = cfg.resolved_window_size(n)
+    w = cfg.resolved_window_size_native(n)  # serial-CPU-appropriate window
     planes, words, expected = build_inputs(n)
     scalars = []
     for i in range(n):
@@ -265,7 +271,7 @@ def measure_native_baseline(n_pow: int, window: int | None) -> dict:
 
     n = 1 << n_pow
     cfg = MSMConfig(window_size=window)
-    w = cfg.resolved_window_size(n)
+    w = cfg.resolved_window_size_native(n)  # serial-CPU-appropriate window
     points_be, scalars_be, expected = build_wire_inputs(n)
     t0 = time.perf_counter()
     got = cpu_engine.msm_wire(points_be, scalars_be, w, n_threads=1)
@@ -308,7 +314,7 @@ def get_baseline(n_pow: int, window: int | None) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pow", type=int, default=20)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-wall", action="store_true")

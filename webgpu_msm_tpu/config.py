@@ -28,16 +28,26 @@ def best_window_size(n_points: int) -> int:
 
 
 def best_window_size_signed(n_points: int) -> int:
-    """Auto window size for signed (balanced) digits.
+    """Auto window size for signed (balanced) digits on the DEVICE engine.
 
-    Signed digits halve the bucket range (|digit| <= 2^(w-1)), which halves
-    the bucket-reduction and histogram cost at the same w. Larger windows
-    were swept at 2^20 on v5e (bench.py --window, packed-gather pipeline):
-    w=13 2.19M pts/s, w=14 2.15M, w=15 2.07M, w=16 2.00M — the K-
-    proportional costs (gather, scan, sort) shrink slowly past w=13 while
-    the B-proportional costs (histogram, bucket assembly, reduction)
-    double per +1. The unsigned auto rule stays optimal."""
-    return best_window_size(n_points)
+    Round-4 sweep on v5e (bench.py --window, single-batch chunking — the
+    2^18 batch cap used in earlier rounds made w=13 look optimal at 2^20
+    because B-proportional per-batch costs were paid 4x):
+
+        2^16: w13 2.32M > w15 1.32M > w16 0.84M   pts/s
+        2^18: w13 2.11M > w15 1.91M > w16 1.73M
+        2^20: w16 2.93M > w15 2.85M > w13 2.68M
+
+    With the whole input in one batch, the O(K*B) bucket costs are one-time
+    and big windows win once n is large enough to amortize them; below that
+    the K-proportional gather/scan/sort costs dominate. Full rule from the
+    sweep: 2^16: w12 2.44M (w11 2.02, w13 2.32); 2^17: w13 2.79M (w12
+    2.73); 2^18: w13 (w12 2.00); 2^19: w13 2.67M (w15 2.64, w16 2.46)."""
+    if n_points >= (1 << 20):
+        return 16
+    if n_points <= (1 << 16):
+        return 12
+    return 13
 
 
 def default_chunking(n_points: int) -> Tuple[int, int]:
@@ -50,14 +60,18 @@ def default_chunking(n_points: int) -> Tuple[int, int]:
     """
     if n_points <= 0:
         raise ValueError("n_points must be positive")
-    # Power-of-two sizes for XLA-friendly static shapes, biased toward wide
-    # chunks (more VPU lanes per step, fewer sequential steps). One batch is
-    # capped at 2^18 points; larger inputs stream in batches whose bucket
+    # Power-of-two sizes for XLA-friendly static shapes. One batch is
+    # capped at 2^20 points; larger inputs stream in batches whose bucket
     # arrays are added (gpu.ts:78-85 VRAM-model analog: staged flushes are
-    # O(batch * n_windows) points of HBM).
+    # O(batch * n_windows) points of HBM — ~5.4 GB at 2^20/w=13, inside a
+    # v5e's 16 GB). Round 4 measured the old 2^18 cap costing ~20% at
+    # 2^20: the per-batch fixed costs (histogram, bucket assembly, carry
+    # add — all O(K*B) or O(K*M)) amortize over the whole input in one
+    # batch, and (C, L) = (2048, 512) beat wider/shorter shapes
+    # ((4096,256): −2.2%, (8192,128): −4.1%; bench.py --chunks sweep).
     bits = max(1, math.ceil(math.log2(n_points)))
-    bits = min(bits, 18)
-    n_chunks = 1 << min(math.ceil(bits * 0.6), 13)
+    bits = min(bits, 20)
+    n_chunks = 1 << min(math.ceil(bits * 0.6), 11)
     n_chunks = min(n_chunks, 1 << bits)
     chunk_len = (1 << bits) // n_chunks
     return n_chunks, chunk_len
@@ -104,7 +118,46 @@ class MSMConfig:
             raise ValueError(f"unsupported window size {w}; supported: {SUPPORTED_WINDOW_SIZES}")
         return w
 
+    def resolved_window_size_native(self, n_points: int) -> int:
+        """Window size for the NATIVE CPU engine (standalone or the CPU half
+        of a co-compute split). The device optimum moved to w=16 at 2^20
+        (one-time vectorized bucket costs), but a serial CPU pays the full
+        2^(w-1) running sum per window per thread — the reference's
+        arkworks-tuned 11/12/13 rule (submission.ts:18-23) stays right for
+        it. The two engines compute independent partial MSMs, so each
+        resolves its own w."""
+        if self.window_size is not None:
+            return self.window_size
+        return best_window_size(n_points)
+
     def resolved_chunking(self, n_points: int) -> Tuple[int, int]:
         if self.n_chunks is not None and self.chunk_len is not None:
             return self.n_chunks, self.chunk_len
         return default_chunking(n_points)
+
+    def resolved_wire_plan(self, n_points: int) -> Tuple[int, int, int]:
+        """(window, n_chunks, chunk_len) for HOST-FED (wire) inputs.
+
+        The single-job wall clock on host-fed inputs is transfer-bound
+        (~1.5 s for 2^20 x||y rows on this link vs ~0.36 s compute), so
+        the wall-optimal plan streams the input in <=2^18-point batches
+        whose transfers overlap the previous batch's compute (gpu.ts:
+        146-155 staging, measured round 2/4) — and with per-batch bucket
+        costs paid once per batch, w=13 stays optimal there. Device-
+        resident inputs use resolved_window_size/resolved_chunking
+        instead (single batch, w=16 at 2^20: +35% device throughput).
+        Explicit window_size / chunking overrides win.
+        """
+        if self.window_size is not None:
+            w = self.window_size
+        elif n_points <= (1 << 16):
+            w = 12 if self.signed_digits else best_window_size(n_points)
+        else:
+            w = 13
+        if self.n_chunks is not None and self.chunk_len is not None:
+            return w, self.n_chunks, self.chunk_len
+        bits = max(1, math.ceil(math.log2(max(n_points, 1))))
+        bits = min(bits, 18)
+        n_chunks = 1 << min(math.ceil(bits * 0.6), 13)
+        n_chunks = min(n_chunks, 1 << bits)
+        return w, n_chunks, (1 << bits) // n_chunks

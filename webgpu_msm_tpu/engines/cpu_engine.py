@@ -136,7 +136,7 @@ def resolved_threads(config: MSMConfig, co_compute: bool) -> int:
 def msm_affine(
     points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
 ) -> tuple[int, int]:
-    w = config.resolved_window_size(len(points))
+    w = config.resolved_window_size_native(len(points))
     return msm_window_partial(
         points, scalars, w, n_threads=resolved_threads(config, co_compute=False)
     )

@@ -28,7 +28,9 @@ def msm_affine(
     if n_cpu >= n:
         return cpu_engine.msm_affine(points, scalars, config)
 
-    w = config.resolved_window_size(n)
+    # each engine resolves its own window size: the device optimum (w=16
+    # at 2^20) would be pathological for the serial CPU running sum
+    w = config.resolved_window_size_native(n)
     n_threads = cpu_engine.resolved_threads(config, co_compute=True)
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         cpu_future = pool.submit(
@@ -58,12 +60,12 @@ def msm_affine_wire(
     if n_cpu <= 0:
         return tpu_engine.msm_affine_wire(points_be, scalars_be, config)
     if n_cpu >= n:
-        w = config.resolved_window_size(n)
+        w = config.resolved_window_size_native(n)
         return cpu_engine.msm_wire(
             points_be, scalars_be, w,
             n_threads=cpu_engine.resolved_threads(config, co_compute=False),
         )
-    w = config.resolved_window_size(n)
+    w = config.resolved_window_size_native(n)
     n_threads = cpu_engine.resolved_threads(config, co_compute=True)
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         cpu_future = pool.submit(

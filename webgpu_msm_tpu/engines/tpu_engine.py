@@ -224,8 +224,9 @@ def msm_window_sums_host(
     from ..utils import trace
 
     n = len(points)
-    w = config.resolved_window_size(n)
-    C, L = config.resolved_chunking(n)
+    # host-fed inputs: wall-optimal streaming plan (transfer overlaps
+    # compute), not the device-resident single-batch plan
+    w, C, L = config.resolved_wire_plan(n)
     batch = C * L
     pad_to = -(-n // batch) * batch  # round up to whole batches
     with trace.phase("convert inputs"):
@@ -266,8 +267,7 @@ def msm_affine_batch(
     outs = []
     for points, scalars in jobs:
         n = len(points)
-        w = config.resolved_window_size(n)
-        C, L = config.resolved_chunking(n)
+        w, C, L = config.resolved_wire_plan(n)
         batch = C * L
         pad_to = -(-n // batch) * batch
         pts = marshal_points(points, pad_to)
@@ -398,8 +398,7 @@ def _dispatch_wire(
     if not (np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1)):
         raise ValueError("wire fast path requires z == 1")
 
-    w = config.resolved_window_size(n)
-    C, L = config.resolved_chunking(n)
+    w, C, L = config.resolved_wire_plan(n)
     batch = C * L
     pad_to = -(-n // batch) * batch
     with trace.phase("slice/pad inputs (wire)"):
