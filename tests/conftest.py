@@ -28,10 +28,12 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the MSM pipeline graphs are expensive to
-# compile on XLA:CPU (~minutes); cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# compile on XLA:CPU (~minutes); cache them across test runs. Routed
+# through enable_compilation_cache so MSM_CACHE_DIR redirects work (cold-
+# suite measurement) and the committed aot/ seed applies.
+from webgpu_msm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import pytest  # noqa: E402
 

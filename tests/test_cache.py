@@ -12,7 +12,9 @@ from webgpu_msm_tpu.utils import cache
 
 @pytest.fixture()
 def export_dir(tmp_path, monkeypatch):
-    monkeypatch.setattr(cache, "_EXPORT_DIR", tmp_path)
+    # MSM_EXPORT_DIR takes precedence over the module default (and over any
+    # outer redirect the test runner itself was launched with)
+    monkeypatch.setenv("MSM_EXPORT_DIR", str(tmp_path))
     monkeypatch.setattr(cache, "_EXPORTED", {})
     monkeypatch.delenv("MSM_NO_EXPORT_CACHE", raising=False)
     return tmp_path

@@ -51,12 +51,27 @@ def test_hybrid_engine_split(case):
     assert (got.x, got.y) == want
 
 
+@pytest.mark.slow
 def test_naive_engine_matches_oracle():
-    """Naive double-and-add baseline row (naiveMSMEntry.ts analog)."""
+    """Naive double-and-add baseline row (naiveMSMEntry.ts analog).
+    slow: the 256-step ladder costs minutes of XLA:CPU compile cold."""
     pts = fixtures.distinct_points(8, seed=31)
     scalars = fixtures.random_scalars(8, seed=32)
     want = m.compute_msm(pts, scalars, engine="oracle")
     got = m.compute_msm(pts, scalars, engine="naive")
+    assert (got.x, got.y) == (want.x, want.y)
+
+
+def test_baseline_engine_matches_oracle():
+    """Demox-baseline analog (pippengerMSMEntry.ts:54): host c=16
+    bucketing + device 16-bit scalar mults + host combine. Includes a
+    bucket collision (two points sharing a window digit)."""
+    pts = fixtures.distinct_points(8, seed=41)
+    scalars = fixtures.random_scalars(8, seed=42)
+    # force a collision in window 0: same low-16-bit digit on two scalars
+    scalars[1] = (scalars[1] & ~0xFFFF) | (scalars[0] & 0xFFFF)
+    want = m.compute_msm(pts, scalars, engine="oracle")
+    got = m.compute_msm(pts, scalars, engine="baseline")
     assert (got.x, got.y) == (want.x, want.y)
 
 

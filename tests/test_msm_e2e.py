@@ -15,7 +15,10 @@ from webgpu_msm_tpu.utils import fixtures
 
 @pytest.mark.parametrize("n,w,C,L", [
     (64, 8, 8, 8),
-    (100, 8, 8, 16),   # padding exercised (100 < 128)
+    # padding AND multi-batch exercised (100 pads to 2 x 64-point batches)
+    # on the same (8, 8, 8) program every other test compiles — distinct
+    # (C, L) configs each cost minutes of XLA:CPU compile cold (round 4)
+    (100, 8, 8, 8),
 ])
 def test_tpu_engine_matches_oracle_distinct(n, w, C, L):
     pts = fixtures.distinct_points(n, seed=60 + n)
@@ -28,7 +31,7 @@ def test_tpu_engine_matches_oracle_distinct(n, w, C, L):
 
 def test_tpu_engine_repeated_base():
     case = fixtures.repeated_base_case(128, seed=80)
-    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=16)
+    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8)  # 2 batches
     got = m.compute_msm(case.points, case.scalars, config=cfg, engine="tpu")
     assert (got.x, got.y) == case.expected
 

@@ -85,9 +85,12 @@ def test_wire_path_bad_shapes_rejected(case):
         m.compute_msm(pw, sw[:-1], config=CFG, engine="tpu")
 
 
+@pytest.mark.slow
 def test_wire_path_multi_batch(case):
-    """n spanning several C*L batches: the lax.scan accumulation path on
-    CPU; the streamed (transfer-overlapped) path on a real TPU backend."""
+    """n spanning several C*L batches on a DISTINCT (4, 4) chunking.
+    slow: a second (C, L) config compiles its own programs (~4 min cold on
+    XLA:CPU); the default tier already covers multi-batch via the shared
+    (8, 8) program (test_msm_e2e 100-point case, hybrid split)."""
     pts, scalars, want = case
     cfg = MSMConfig(window_size=8, n_chunks=4, chunk_len=4)  # M=16, 3 batches
     got = m.compute_msm(

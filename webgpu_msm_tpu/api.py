@@ -140,8 +140,11 @@ def compute_msm(
 
     engine: "tpu" (default when a JAX backend is usable), "oracle"
     (pure-Python reference; default otherwise), "cpu" (native C++ engine,
-    if built), "hybrid" (CPU/TPU co-compute), or "naive" (per-point
-    double-and-add ladder — the reference's naive-baseline comparison row).
+    if built), "hybrid" (CPU/TPU co-compute), "naive" (per-point
+    double-and-add ladder — the reference's naive-baseline comparison row),
+    or "baseline" (the Demox webgpu_pippenger_msm analog: host bucketing +
+    device 16-bit scalar mults — the reference's >=10%-bar comparator,
+    pippengerMSMEntry.ts:54).
     """
     config = config or MSMConfig()
     if engine is None:
@@ -191,6 +194,11 @@ def compute_msm(
         from .engines import naive_engine
 
         x, y = naive_engine.msm_affine(pts, sc, config)
+        return AffinePoint(x, y)
+    if engine == "baseline":
+        from .engines import baseline_engine
+
+        x, y = baseline_engine.msm_affine(pts, sc, config)
         return AffinePoint(x, y)
     if engine == "tpu":
         if config.cpu_work_ratio > 0:

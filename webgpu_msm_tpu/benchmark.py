@@ -131,7 +131,11 @@ def run_ratio_sweep(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="16", help="comma-separated log2 sizes")
-    ap.add_argument("--engines", default="tpu", help="tpu,cpu,hybrid,oracle,naive")
+    ap.add_argument(
+        "--engines", default="tpu",
+        help="tpu,cpu,hybrid,oracle,naive,baseline (baseline = the Demox "
+        "webgpu_pippenger_msm analog, the reference's >=10%%-bar row)",
+    )
     ap.add_argument("--csv", default=None, help="write rows to CSV file")
     ap.add_argument(
         "--window-sweep",

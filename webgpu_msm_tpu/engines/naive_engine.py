@@ -40,22 +40,24 @@ def _device_naive(points_plain: jnp.ndarray, scalar_words: jnp.ndarray) -> jnp.n
     y = field_ops.to_mont(limbs.unstack(points_plain[1]))
     t = field_ops.to_mont(limbs.unstack(points_plain[2]))
 
-    # MSB-first ladder. The word index must be static to index scalar_words,
-    # so unroll over the 8 words and fori_loop over the bits within each.
+    # MSB-first ladder as ONE 256-step fori_loop with a dynamic word fetch:
+    # the original 8-way word unroll instantiated the double+add graph 8
+    # times and cost ~10 min of XLA:CPU compile cold (round-4 suite
+    # measurement); a single body compiles once.
     acc_st = curve_ops.identity((n,)).stacked()
-    for word_idx in reversed(range(8)):
-        hi = min(32, SCALAR_BITS - 32 * word_idx)
-        if hi <= 0:
-            continue
-        word = scalar_words[word_idx]
 
-        def step(j, st, word=word, hi=hi):
-            acc = curve_ops.double(PointVec.from_stacked(st))
-            added = curve_ops.add_mixed(acc, x, y, t)
-            on = (word >> (jnp.uint32(hi - 1) - j.astype(jnp.uint32))) & jnp.uint32(1)
-            return curve_ops.select(on == 1, added, acc).stacked()
+    def step(i, st):
+        bit_idx = jnp.uint32(SCALAR_BITS - 1) - i.astype(jnp.uint32)
+        word = lax.dynamic_index_in_dim(
+            scalar_words, (bit_idx // 32).astype(jnp.int32), axis=0,
+            keepdims=False,
+        )
+        on = (word >> (bit_idx % 32)) & jnp.uint32(1)
+        acc = curve_ops.double(PointVec.from_stacked(st))
+        added = curve_ops.add_mixed(acc, x, y, t)
+        return curve_ops.select(on == 1, added, acc).stacked()
 
-        acc_st = lax.fori_loop(0, hi, step, acc_st)
+    acc_st = lax.fori_loop(0, SCALAR_BITS, step, acc_st)
 
     # tree-sum the n per-point products
     from ..ops import pippenger

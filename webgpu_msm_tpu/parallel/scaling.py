@@ -127,8 +127,8 @@ def weak_scaling_trend(
 
 
 def print_report(
-    compute_s: float = 0.4806,  # measured 2^20 device_s, BENCH_r03
-    window_size: int = 13,
+    compute_s: float = 0.358,  # measured 2^20 device_s, round 4 (w=16)
+    window_size: int = 16,
     signed_digits: bool = True,
 ) -> None:
     print("== Analytic ICI model (v5e, 45 GB/s/link/direction assumption) ==")
