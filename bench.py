@@ -291,21 +291,39 @@ def get_baseline(n_pow: int, window: int | None) -> dict:
     `native_st` (the arkworks-class single-thread C++ engine) anchors
     `vs_baseline`; the pure-Python oracle multiplier is reported separately
     as `vs_python_oracle` (round-3 verdict #3: Python flattered the ratio).
+
+    The cache is keyed by hostname and entries must be bit_exact (round-4
+    advice): a committed cache from another machine, or a measurement whose
+    result was wrong, never silently anchors `vs_baseline` — it re-measures.
     """
+    import socket
+
+    host = socket.gethostname()
     n = 1 << n_pow
     cached = {}
     if BASELINE_CACHE.exists():
         cached = json.loads(BASELINE_CACHE.read_text())
         if "python" not in cached:  # legacy schema: flat python-oracle entry
             cached = {"python": cached} if cached.get("n") == n else {}
+        if cached.get("host", host) != host:
+            cached = {}  # cache measured on a different machine: re-anchor
+
+    def usable(entry: dict) -> bool:
+        return entry.get("n") == n and entry.get("bit_exact") is True
+
     out = dict(cached)
-    if out.get("python", {}).get("n") != n:
+    out["host"] = host
+    if not usable(out.get("python", {})):
         out["python"] = measure_cpu_baseline(n_pow, window)
-    if out.get("native_st", {}).get("n") != n:
+    if not usable(out.get("native_st", {})):
         try:
             out["native_st"] = measure_native_baseline(n_pow, window)
         except Exception as e:  # native build unavailable: keep python anchor
             print(f"native baseline unavailable: {e}", file=sys.stderr)
+            out.pop("native_st", None)
+    for k in ("python", "native_st"):
+        if k in out and not out[k].get("bit_exact"):
+            raise SystemExit(f"baseline {k!r} measurement was not bit-exact")
     if out != cached:
         BASELINE_CACHE.write_text(json.dumps(out))
     return out

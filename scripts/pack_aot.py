@@ -55,11 +55,28 @@ def main() -> int:
             if f.is_file():
                 f.unlink()
 
+    sys.path.insert(0, str(REPO))
+    from webgpu_msm_tpu.utils.cache import _source_hash
+
+    src_hash = _source_hash()
+
     total = 0
     n_exp = 0
+    n_stale = 0
     for f in sorted((CACHE / "jax_export").glob("*.stablehlo")):
+        # Skip artifacts traced from an older source tree: their key embeds
+        # the old source hash, so they can never load against this tree —
+        # committing them would be silent dead weight (round-4 advice).
+        meta = f.with_name(f.name + ".meta")
+        if meta.exists() and meta.read_text().strip() != src_hash:
+            n_stale += 1
+            continue
         total += pack(f, AOT / "export" / (f.name + ".gz"))
         n_exp += 1
+    if n_stale:
+        print(f"WARNING: skipped {n_stale} stale exports (older source tree);"
+              " re-run the production paths to re-trace", file=sys.stderr)
+    (AOT / "SOURCE_HASH").write_text(src_hash + "\n")
 
     n_cache = 0
     cutoff = time.time() - args.newer_than_min * 60 if args.newer_than_min else 0

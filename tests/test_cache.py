@@ -72,3 +72,26 @@ def test_exported_call_bypass_env(export_dir, monkeypatch):
     out = cache.exported_call("b", fn, jnp.zeros(4, jnp.uint32))
     assert int(np.asarray(out)[0]) == 2
     assert list(export_dir.glob("b-*.stablehlo")) == []
+
+
+@pytest.mark.cold
+def test_committed_aot_seed_matches_source_tree():
+    """The committed aot/ seed must be packed from THIS source tree.
+
+    Export keys embed the source hash, so a seed packed before a code change
+    is unreachable dead weight and the driver's cold start silently loses the
+    compile_s win (round-4 advice: staleness detection). pack_aot.py records
+    the hash it packed under; re-run `python scripts/pack_aot.py` (after
+    warming .cache via bench.py) whenever this fails.
+    """
+    from pathlib import Path
+
+    aot = Path(cache.__file__).resolve().parents[2] / "aot"
+    marker = aot / "SOURCE_HASH"
+    if not aot.is_dir():
+        pytest.skip("no committed aot/ seed")
+    assert marker.exists(), "aot/ lacks SOURCE_HASH; re-run scripts/pack_aot.py"
+    assert marker.read_text().strip() == cache._source_hash(), (
+        "committed aot/ seed was packed from a different source tree; "
+        "re-run the production paths (python bench.py) then scripts/pack_aot.py"
+    )

@@ -96,3 +96,31 @@ def test_batch_api(case):
     assert len(res) == 2
     assert (res[0].x, res[0].y) == (single.x, single.y)
     assert (res[1].x, res[1].y) == (single.x, single.y)
+
+
+def test_batch_api_engine_routing(case):
+    """compute_msm_batch honors engine= and cpu_work_ratio like compute_msm
+    (round-4 verdict #6: the batch path silently dropped the co-compute
+    knob and always ran the TPU engine)."""
+    pts, scalars, want = case
+    sub_p, sub_s = pts[:64], scalars[:64]
+
+    # explicit non-TPU engine routes per job (here: the pure-Python oracle)
+    res = m.compute_msm_batch(
+        [sub_p, sub_p], [sub_s, sub_s],
+        config=MSMConfig(window_size=8), engine="oracle",
+    )
+    single = m.compute_msm(sub_p, sub_s, config=MSMConfig(window_size=8),
+                           engine="oracle")
+    assert all((r.x, r.y) == (single.x, single.y) for r in res)
+
+    # cpu_work_ratio > 0 routes through the hybrid co-compute split, same
+    # as the single-call path
+    cfg = MSMConfig(window_size=8, cpu_work_ratio=0.25, n_chunks=8, chunk_len=8)
+    res = m.compute_msm_batch([sub_p], [sub_s], config=cfg)
+    hybrid = m.compute_msm(sub_p, sub_s, config=cfg)
+    assert (res[0].x, res[0].y) == (hybrid.x, hybrid.y)
+
+    # length mismatch is an error, not silent zip truncation
+    with pytest.raises(ValueError):
+        m.compute_msm_batch([sub_p, sub_p], [sub_s], config=cfg)

@@ -222,6 +222,7 @@ def compute_msm_batch(
     points_list: Sequence[Any],
     scalars_list: Sequence[Any],
     config: Optional[MSMConfig] = None,
+    engine: Optional[str] = None,
 ) -> list[AffinePoint]:
     """Batched prover workload: many MSMs, host marshalling overlapped with
     device compute (async dispatch; SURVEY.md §7.7).
@@ -230,8 +231,25 @@ def compute_msm_batch(
     z == 1 — the reference's primary input form, README.md:66-96), the whole
     batch streams through the on-device-marshalling wire path with no
     per-point Python conversion; otherwise inputs are normalized per job.
+
+    Engine routing matches `compute_msm` (round-4 verdict #6: the batch path
+    silently ignored `cpu_work_ratio`): the job-level streamed dispatch is a
+    TPU-engine property, so any other engine — or a co-compute split — runs
+    per job through `compute_msm` with identical routing semantics.
     """
     config = config or MSMConfig()
+    if engine is None:
+        engine = _default_engine()
+    if len(points_list) != len(scalars_list):
+        raise ValueError(
+            f"points_list/scalars_list length mismatch: "
+            f"{len(points_list)} vs {len(scalars_list)}"
+        )
+    if engine != "tpu" or config.cpu_work_ratio > 0:
+        return [
+            compute_msm(p, s, config=config, engine=engine)
+            for p, s in zip(points_list, scalars_list)
+        ]
     from .engines import tpu_engine
 
     if points_list and all(

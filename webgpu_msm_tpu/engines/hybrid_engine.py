@@ -53,8 +53,17 @@ def msm_affine_wire(
     reference's primary input form (submission.ts:96-154)."""
     import numpy as np
 
-    points_be = np.ascontiguousarray(points_be, dtype=np.uint32).reshape(-1, 32)
-    scalars_be = np.ascontiguousarray(scalars_be, dtype=np.uint32).reshape(-1, 8)
+    from ..utils import convert
+
+    # Range-validated conversion (not a silent astype): direct callers with
+    # u64-word arrays must get an error, not truncated-to-u32 wrong answers —
+    # the same round-3 bug class api._wire_fast_path_ok guards against.
+    points_be = np.ascontiguousarray(
+        convert.as_u32_array(points_be, "wire points")
+    ).reshape(-1, 32)
+    scalars_be = np.ascontiguousarray(
+        convert.as_u32_array(scalars_be, "wire scalars")
+    ).reshape(-1, 8)
     n = points_be.shape[0]
     n_cpu = int(n * config.cpu_work_ratio)
     if n_cpu <= 0:

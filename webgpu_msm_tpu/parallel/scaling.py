@@ -69,7 +69,11 @@ class ScalingRow:
     n_devices: int
     n_points: int
     wall_s: float
-    efficiency_vs_d1: float
+    # Efficiency relative to the SMALLEST D that actually ran (recorded in
+    # base_devices — round-4 advice: when d_values omits 1 or devices are
+    # short, "vs D=1" would silently mean something else).
+    efficiency_vs_base: float
+    base_devices: int = 1
 
 
 def weak_scaling_trend(
@@ -93,6 +97,7 @@ def weak_scaling_trend(
 
     rows: list[ScalingRow] = []
     t1 = None
+    base_d = None
     for D in d_values:
         if D > len(jax.devices()):
             break
@@ -122,7 +127,8 @@ def weak_scaling_trend(
         wall = float(np.median(times))
         if t1 is None:
             t1 = wall
-        rows.append(ScalingRow(D, n, wall, t1 / wall))
+            base_d = D
+        rows.append(ScalingRow(D, n, wall, t1 / wall, base_devices=base_d))
     return rows
 
 
@@ -147,7 +153,7 @@ def print_report(
     for r in weak_scaling_trend():
         print(
             f"D={r.n_devices}  n={r.n_points:6d}  wall={r.wall_s*1e3:9.1f} ms"
-            f"  eff(vs D=1)={r.efficiency_vs_d1:.3f}"
+            f"  eff(vs D={r.base_devices})={r.efficiency_vs_base:.3f}"
         )
 
 

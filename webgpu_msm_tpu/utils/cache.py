@@ -160,5 +160,11 @@ def exported_call(name: str, fn, *args):
             tmp = path.with_suffix(".tmp")
             tmp.write_bytes(exp.serialize())
             os.replace(tmp, path)
+            # Sidecar provenance: the key already *contains* the source hash
+            # (stale programs can't load), but the hash inside the key is
+            # opaque — the sidecar lets pack_aot.py detect artifacts from an
+            # older tree instead of silently committing dead weight
+            # (round-4 advice: aot/ staleness detection).
+            path.with_name(path.name + ".meta").write_text(_source_hash())
         _EXPORTED[key] = exp
     return exp.call(*args)
