@@ -55,6 +55,26 @@ def test_pinned_2_16_vs_oracle():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("power", [17, 20])
+def test_pinned_independent_of_tpu_engine(power):
+    """The pinned values must hold against an implementation sharing no code
+    with the TPU engine (round-4 verdict #1: circular provenance). The
+    native C++ engine verifies a large power in seconds; the FULL sweep —
+    all five powers x {C++ single-thread, C++ multi-thread, python oracle} —
+    is scripts/verify_pinned.py (artifact PINNED_VERIFY_r05.json)."""
+    from webgpu_msm_tpu.config import best_window_size
+    from webgpu_msm_tpu.engines import cpu_engine
+
+    n = 1 << power
+    pts = fixtures.distinct_points_fast(n, seed=power)
+    scalars = fixtures.random_scalars(n, seed=1000 + power)
+    got = cpu_engine.msm_window_partial(
+        pts, scalars, best_window_size(n), n_threads=1
+    )
+    assert got == PINNED[power]
+
+
+@pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("MSM_TEST_TPU") != "1",
     reason="full-size engine check needs the real TPU backend",

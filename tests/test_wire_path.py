@@ -189,3 +189,62 @@ def test_wire_fast_path_errors_propagate(case, monkeypatch):
             wire_points(pts), convert.bigints_to_u32_be(scalars),
             config=CFG, engine="tpu",
         )
+
+
+def test_fixed_base_plan_matches_single_calls(case):
+    """MSMPlan (fixed-base SRS prover): device-resident bases + scalars-only
+    streaming must be bit-exact with per-call compute_msm (round-5 item #1;
+    the SAB point-buffer-reuse analog, submission.ts:35-38,131)."""
+    pts, scalars, want = case
+    pw = wire_points(pts)
+    plan = m.MSMPlan(pw, config=CFG, engine="tpu")
+    assert plan.n == len(pts)
+
+    sw = convert.bigints_to_u32_be(scalars)
+    got = plan.msm(sw)
+    assert (got.x, got.y) == want
+
+    # second job with different scalars reuses the resident bases
+    scalars2 = fixtures.random_scalars(len(pts), seed=99)
+    sw2 = convert.bigints_to_u32_be(scalars2)
+    ref2 = m.compute_msm(pw, sw2, config=CFG, engine="tpu")
+    res = plan.msm_batch([sw, sw2])
+    assert (res[0].x, res[0].y) == want
+    assert (res[1].x, res[1].y) == (ref2.x, ref2.y)
+
+    # scalars as python ints work too (normalized to wire form)
+    got_int = plan.msm(scalars2)
+    assert (got_int.x, got_int.y) == (ref2.x, ref2.y)
+
+
+def test_fixed_base_plan_list_points_and_errors(case):
+    """Plan construction from list-form points (one-time host marshal) and
+    scalar-count validation."""
+    pts, scalars, want = case
+    plan = m.MSMPlan(pts, config=CFG, engine="tpu")
+    got = plan.msm(convert.bigints_to_u32_be(scalars))
+    assert (got.x, got.y) == want
+    with pytest.raises(ValueError):
+        plan.msm(convert.bigints_to_u32_be(scalars[:10]))
+
+
+def test_fixed_base_plan_non_tpu_engine_fallback(case):
+    """On non-TPU engines the plan degrades to per-call compute_msm."""
+    pts, scalars, want = case
+    plan = m.MSMPlan(pts, config=CFG, engine="oracle")
+    got = plan.msm(scalars)
+    assert (got.x, got.y) == want
+
+
+def test_batch_api_shared_bases_uses_plan(case):
+    """compute_msm_batch with the SAME points array across jobs routes
+    through the fixed-base plan and stays bit-exact."""
+    pts, scalars, want = case
+    pw = wire_points(pts)
+    sw = convert.bigints_to_u32_be(scalars)
+    scalars2 = fixtures.random_scalars(len(pts), seed=98)
+    sw2 = convert.bigints_to_u32_be(scalars2)
+    ref2 = m.compute_msm(pw, sw2, config=CFG, engine="tpu")
+    res = m.compute_msm_batch([pw, pw], [sw, sw2], config=CFG)
+    assert (res[0].x, res[0].y) == want
+    assert (res[1].x, res[1].y) == (ref2.x, ref2.y)

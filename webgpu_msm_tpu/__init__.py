@@ -13,5 +13,5 @@ Public API (parity with the reference's `compute_msm`, README.md:63):
 
 __version__ = "0.1.0"
 
-from .api import compute_msm, compute_msm_batch, AffinePoint  # noqa: F401
+from .api import compute_msm, compute_msm_batch, AffinePoint, MSMPlan  # noqa: F401
 from .config import MSMConfig  # noqa: F401

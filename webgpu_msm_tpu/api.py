@@ -69,20 +69,26 @@ def _warn_if_not_tpu() -> None:
         )
 
 
+def _wire_points_ok(points: np.ndarray) -> bool:
+    """Point-side preconditions of the wire fast path ([n, 32] BE u32 rows,
+    z == 1), without a scalar array to compare against."""
+    if not np.issubdtype(points.dtype, np.integer):
+        return False
+    if points.size == 0 or points.size % 32 != 0:
+        return False
+    z = convert.as_u32_array(points, "wire points").reshape(-1, 32)[:, 24:32]
+    return bool(np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1))
+
+
 def _wire_fast_path_ok(points: np.ndarray, scalars: np.ndarray) -> bool:
     """Preconditions for msm_affine_wire, checked explicitly up front so the
     fast path never swallows real errors (round-1 advice: the old
     `except ValueError: pass` hid marshalling bugs). Integer arrays wider
     than u32 are range-validated — values >= 2^32 raise instead of being
     silently truncated into a wrong answer (round-3 verdict finding)."""
-    if not np.issubdtype(points.dtype, np.integer):
-        return False
-    if points.size == 0 or points.size % 32 != 0:
-        return False
     if scalars.size != points.size // 4:  # n*8 scalar words vs n*32 point words
         return False
-    z = convert.as_u32_array(points, "wire points").reshape(-1, 32)[:, 24:32]
-    if not (np.all(z[:, :7] == 0) and np.all(z[:, 7] == 1)):
+    if not _wire_points_ok(points):
         return False
     convert.as_u32_array(scalars, "wire scalars")  # range check; raises on u64 overflow
     return True
@@ -258,6 +264,18 @@ def compute_msm_batch(
         and _wire_fast_path_ok(p, s)
         for p, s in zip(points_list, scalars_list)
     ):
+        if len(points_list) > 1 and all(
+            p is points_list[0] for p in points_list
+        ):
+            # Every job shares one base array (the fixed-SRS prover shape):
+            # transfer + Niels-convert the bases ONCE and stream only each
+            # job's scalars — 96 B/point -> 32 B/point per job (round-5
+            # fixed-base plan; submission.ts:35-38,131 SAB-reuse analog).
+            plan = tpu_engine.WirePlan(points_list[0], config)
+            return [
+                AffinePoint(x, y)
+                for x, y in plan.msm_affine_batch(scalars_list)
+            ]
         wire_jobs = list(zip(points_list, scalars_list))
         return [
             AffinePoint(x, y)
@@ -271,3 +289,104 @@ def compute_msm_batch(
     return [
         AffinePoint(x, y) for x, y in tpu_engine.msm_affine_batch(jobs, config)
     ]
+
+
+class MSMPlan:
+    """Fixed-base (SRS) prover plan: `compute_msm` with the bases fixed.
+
+    The real prover workload computes many MSMs against ONE structured
+    reference string; re-sending the 64 MB point array per job (as any
+    per-call API must) is pure waste on a host-fed accelerator. A plan
+    moves + Montgomery-Niels-converts the bases to the device once at
+    construction; each `msm(scalars)` call streams only [n, 8] scalar rows.
+
+    This generalizes the reference's zero-copy SharedArrayBuffer point
+    buffer — reused across its convert/compute workers within one call
+    (submission.ts:35-38,131) — across *calls*, which a browser submission
+    could not do but a resident TPU service should.
+
+        plan = MSMPlan(points)            # once per SRS
+        results = plan.msm_batch(scalar_jobs)   # scalars-only streaming
+
+    Points accept the same forms as `compute_msm`; wire-format [n, 32]
+    BE u32 rows (z == 1) skip all host-side per-point conversion. On
+    non-TPU engines the plan degrades gracefully to per-call compute_msm
+    (correct everywhere; the transfer saving is a device-path property).
+    """
+
+    def __init__(
+        self,
+        points: Any,
+        config: Optional[MSMConfig] = None,
+        engine: Optional[str] = None,
+    ):
+        self.config = config or MSMConfig()
+        if engine is None:
+            engine = _default_engine()
+        self.engine = engine
+        self._plan = None
+        self._points = None
+        use_device_plan = engine == "tpu" and self.config.cpu_work_ratio == 0
+        if use_device_plan:
+            _warn_if_not_tpu()
+            from .engines import tpu_engine
+
+            if isinstance(points, np.ndarray) and _wire_points_ok(points):
+                self._plan = tpu_engine.WirePlan(points, self.config)
+            else:
+                # one-time host marshal to wire rows, then the same plan
+                pts = _normalize_points(points)
+                rows = np.zeros((len(pts), 32), dtype=np.uint32)
+                from .oracle import field as ofield
+
+                xs, ys, ts = [], [], []
+                for p in pts:
+                    if p.z != 1:
+                        zi = ofield.finv(p.z)
+                        x, y = p.x * zi % ofield.P, p.y * zi % ofield.P
+                        t = x * y % ofield.P
+                    else:
+                        x, y, t = p.x, p.y, p.t
+                    xs.append(x)
+                    ys.append(y)
+                    ts.append(t)
+                rows[:, 0:8] = convert.bigints_to_u32_be(xs)
+                rows[:, 8:16] = convert.bigints_to_u32_be(ys)
+                rows[:, 16:24] = convert.bigints_to_u32_be(ts)
+                rows[:, 31] = 1
+                self._plan = tpu_engine.WirePlan(rows, self.config)
+            self.n = self._plan.n
+        else:
+            self._points = points
+            self.n = (
+                points.reshape(-1, 32).shape[0]
+                if isinstance(points, np.ndarray)
+                else len(points)
+            )
+
+    def _scalars_wire(self, scalars: Any) -> np.ndarray:
+        if isinstance(scalars, np.ndarray):
+            return convert.as_u32_array(scalars, "wire scalars").reshape(-1, 8)
+        return convert.bigints_to_u32_be([int(s) for s in scalars])
+
+    def msm(self, scalars: Any) -> AffinePoint:
+        """One MSM against the planned bases."""
+        if self._plan is not None:
+            x, y = self._plan.msm_affine(self._scalars_wire(scalars))
+            return AffinePoint(x, y)
+        return compute_msm(
+            self._points, scalars, config=self.config, engine=self.engine
+        )
+
+    def msm_batch(self, scalars_list: Sequence[Any]) -> list[AffinePoint]:
+        """Batched jobs: all dispatched (scalar transfers overlapped with
+        compute) before any result is fetched."""
+        if self._plan is not None:
+            wire = [self._scalars_wire(s) for s in scalars_list]
+            return [
+                AffinePoint(x, y) for x, y in self._plan.msm_affine_batch(wire)
+            ]
+        return [
+            compute_msm(self._points, s, config=self.config, engine=self.engine)
+            for s in scalars_list
+        ]

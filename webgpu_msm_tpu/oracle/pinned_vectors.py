@@ -9,12 +9,17 @@ Inputs regenerate exactly from seeds:
     points  = fixtures.distinct_points_fast(1 << power, seed=power)
     scalars = fixtures.random_scalars(1 << power, seed=1000 + power)
 
-Expected values were produced by the TPU engine (v5e, one chip) and
-cross-checked at 2^16 against two independent implementations — the
-pure-Python oracle and the native C++ engine (three implementations in
-agreement) — by scripts/pin_vectors.py. Regenerate / re-verify with:
+Expected values were produced by the TPU engine (v5e, one chip) and — as
+of round 5 — EVERY power is verified by two implementations that share no
+code with the TPU engine: the native C++ engine (runtime/csrc/msm_cpu.cpp,
+run single-thread and multi-thread) and the pure-Python bigint oracle
+(scripts/verify_pinned.py; artifact PINNED_VERIFY_r05.json, all ok=true).
+That matches the reference's provenance standard, where pinned results
+come from an oracle independent of the submission under test
+(src/test-data/testCases.ts:12-31, README.md:108). Regenerate with
+scripts/pin_vectors.py; re-verify independence with:
 
-    python scripts/pin_vectors.py
+    python scripts/verify_pinned.py
 """
 
 # power -> (x, y) affine expected result
