@@ -229,6 +229,98 @@ def measure_wall_batch(n_pow: int, n_jobs: int, window: int | None) -> dict:
     }
 
 
+def measure_wall_fixed_batch(
+    n_pow: int, n_jobs: int, window: int | None, iters: int = 3
+) -> dict:
+    """Fixed-base (SRS) prover clock: ONE MSMPlan (bases resident on device),
+    n_jobs scalar-only jobs through plan.msm_batch — the real prover shape
+    (round-5 item #1). Reports setup cost and per-iteration spread; the
+    tunnel's day-to-day variance makes a single number untrustworthy."""
+    import webgpu_msm_tpu as m
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.oracle import curve
+    from webgpu_msm_tpu.oracle.testdata import base_point
+
+    n = 1 << n_pow
+    cfg = MSMConfig(window_size=window)
+    points_be, _, _ = build_wire_inputs(n)
+    b = base_point()
+
+    jobs = []
+    expected = []
+    for j in range(n_jobs):
+        rng = np.random.default_rng(5000 + j)
+        words = rng.integers(0, 1 << 32, size=(8, n), dtype=np.uint64).astype(
+            np.uint32
+        )
+        words[7] &= 0x1FFFFFFF
+        total = 0
+        for w in range(8):
+            total += int(words[w].astype(np.uint64).sum()) << (32 * w)
+        expected.append(curve.to_affine(curve.scalar_mul(b, total)))
+        from webgpu_msm_tpu.utils import convert
+
+        jobs.append(convert.words_le_to_be_rows(words))
+
+    t0 = time.perf_counter()
+    plan = m.MSMPlan(points_be, config=cfg)
+    setup_s = time.perf_counter() - t0
+
+    got = plan.msm_batch(jobs)  # warm-up + correctness
+    bit_exact = all((g.x, g.y) == e for g, e in zip(got, expected))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        plan.msm_batch(jobs)
+        times.append(time.perf_counter() - t0)
+    batch_s = float(np.median(times))
+
+    # Context row: the tunnel's fenced host->device byte rate for fresh
+    # random data, measured NOW (it is visibly non-stationary day to day).
+    # The fixed-base path's floor is 32 B of scalar entropy per point per
+    # job, so its points/s ceiling on this link is link_bytes_per_s / 32;
+    # report both so a slow-link day reads as a link number, not a
+    # software regression. (block_until_ready does not fence a transfer
+    # on this platform; a dependent host fetch does — DESIGN.md round 3.)
+    import jax
+    import jax.numpy as jnp
+
+    fence = jax.jit(
+        lambda *xs: sum(jnp.sum(x, dtype=jnp.uint32) for x in xs)
+    )
+    rng = np.random.default_rng(99)
+    probes = [
+        rng.integers(0, 1 << 32, size=(1 << 21,), dtype=np.uint64).astype(
+            np.uint32
+        )
+        for _ in range(4)
+    ]  # 4 x 8 MB fresh random, in flight together like the job pipeline
+    np.asarray(fence(*[p[:8] for p in probes]))  # compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fence(*[jax.device_put(p) for p in probes]))
+        rates.append(sum(p.nbytes for p in probes) / (time.perf_counter() - t0))
+    link_bytes_s = float(np.median(rates))
+
+    return {
+        "n": n,
+        "n_jobs": n_jobs,
+        "plan_setup_s": setup_s,
+        "batch_s": batch_s,
+        "batch_s_min": float(np.min(times)),
+        "batch_s_max": float(np.max(times)),
+        "batch_points_per_s": n * n_jobs / batch_s,
+        "link_mb_s": round(link_bytes_s / 1e6, 1),
+        "link_ceiling_points_per_s": round(link_bytes_s / 32, 1),
+        "link_ceiling_fraction": round(
+            (n * n_jobs / batch_s) / (link_bytes_s / 32), 3
+        ),
+        "bit_exact": bool(bit_exact),
+    }
+
+
 def measure_cpu_baseline(n_pow: int, window: int | None) -> dict:
     """Single-thread CPU reference: the pure-Python serial Pippenger oracle."""
     from webgpu_msm_tpu.config import MSMConfig
@@ -338,6 +430,9 @@ def main() -> int:
     ap.add_argument("--skip-wall", action="store_true")
     ap.add_argument("--batch-jobs", type=int, default=2,
                     help="batched-prover jobs to measure (0 disables)")
+    ap.add_argument("--fixed-jobs", type=int, default=4,
+                    help="fixed-base (MSMPlan) prover jobs to measure "
+                         "(0 disables)")
     ap.add_argument("--chunks", default=None, help="C,L chunking override")
     args = ap.parse_args()
 
@@ -347,10 +442,15 @@ def main() -> int:
     dev = measure_device(args.n_pow, args.iters, args.window, chunks=chunks)
     wall = None
     batch = None
+    fixed = None
     if not args.skip_wall:
         wall = measure_wall(args.n_pow, args.iters, args.window)
         if args.batch_jobs >= 2:
             batch = measure_wall_batch(args.n_pow, args.batch_jobs, args.window)
+        if args.fixed_jobs >= 2:
+            fixed = measure_wall_fixed_batch(
+                args.n_pow, args.fixed_jobs, args.window
+            )
 
     vs = vs_python = None
     base = None
@@ -380,6 +480,12 @@ def main() -> int:
         line["wall_clock_points_per_s"] = round(wall["wall_points_per_s"], 1)
     if batch is not None:
         line["batch_wall_points_per_s"] = round(batch["batch_points_per_s"], 1)
+    if fixed is not None:
+        # The fixed-base (SRS) prover clock: resident bases, scalars-only
+        # streaming — the workload shape provers actually run (round-5 #1).
+        line["fixed_base_batch_points_per_s"] = round(
+            fixed["batch_points_per_s"], 1
+        )
     detail = {**dev}
     detail.pop("device_s_all", None)
     if wall is not None:
@@ -388,12 +494,15 @@ def main() -> int:
         detail["baselines"] = base
     if batch is not None:
         detail["batch"] = batch
+    if fixed is not None:
+        detail["fixed_base_batch"] = fixed
     print(json.dumps(line))
     print(json.dumps({"detail": detail}), file=sys.stderr)
     if (
         not dev["bit_exact"]
         or (wall is not None and not wall["bit_exact"])
         or (batch is not None and not batch["bit_exact"])
+        or (fixed is not None and not fixed["bit_exact"])
     ):
         print("ERROR: result not bit-exact", file=sys.stderr)
         return 1
