@@ -114,3 +114,26 @@ def test_scalar_mul_chain_exactness():
     for _ in range(12):
         want = [F.fadd(z, z) for z in (F.mont_mul(x, x) for x in want)]
     assert got == want
+
+
+def test_device_field_inverse_and_pow():
+    """finv_mont / mont_pow_const vs the oracle (FieldModulus.ts:119-164
+    parity — the device-side field_inverse/field_pow capability)."""
+    a = rand_field_elems(6, 31) + [1, F.P - 1, 3021]
+    mont = to_digits([F.to_mont(x) for x in a])
+
+    inv = field_ops.finv_mont(mont)
+    got = from_digits(field_ops.from_mont(inv))
+    assert got == [F.finv(x) for x in a]
+
+    # finv_mont(0) == 0 (Fermat maps 0 to 0; matches WGSL field_inverse)
+    z = field_ops.finv_mont(to_digits([0]))
+    assert from_digits(field_ops.from_mont(z)) == [0]
+
+    # generic pow: x^5 in the Montgomery domain
+    p5 = field_ops.mont_pow_const(mont, 5)
+    got5 = from_digits(field_ops.from_mont(p5))
+    assert got5 == [pow(x, 5, F.P) for x in a]
+    # e == 0 -> mont 1
+    p0 = field_ops.mont_pow_const(mont, 0)
+    assert from_digits(field_ops.from_mont(p0)) == [1] * len(a)

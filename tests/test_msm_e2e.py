@@ -88,3 +88,31 @@ def test_tpu_engine_single_point():
     got = m.compute_msm([b], [987654321], config=cfg, engine="tpu")
     want = curve.to_affine(curve.scalar_mul(b, 987654321))
     assert (got.x, got.y) == want
+
+
+def test_tpu_engine_device_affine():
+    """config.device_affine: window sums converted to affine ON DEVICE
+    (batched finv_mont finish stage) must stay bit-exact on every input
+    path — planes, wire, and the fixed-base plan."""
+    pts = fixtures.distinct_points(64, seed=91)
+    scalars = fixtures.random_scalars(64, seed=92)
+    cfg = MSMConfig(window_size=8, n_chunks=8, chunk_len=8, device_affine=True)
+    want = m.compute_msm(pts, scalars, config=MSMConfig(window_size=8),
+                         engine="oracle")
+    got = m.compute_msm(pts, scalars, config=cfg, engine="tpu")
+    assert (got.x, got.y) == (want.x, want.y)
+
+    from webgpu_msm_tpu.utils import convert
+
+    pw = np.zeros((64, 32), np.uint32)
+    pw[:, 0:8] = convert.bigints_to_u32_be([p.x for p in pts])
+    pw[:, 8:16] = convert.bigints_to_u32_be([p.y for p in pts])
+    pw[:, 16:24] = convert.bigints_to_u32_be([p.t for p in pts])
+    pw[:, 31] = 1
+    sw = convert.bigints_to_u32_be(scalars)
+    got_wire = m.compute_msm(pw, sw, config=cfg, engine="tpu")
+    assert (got_wire.x, got_wire.y) == (want.x, want.y)
+
+    plan = m.MSMPlan(pw, config=cfg, engine="tpu")
+    got_plan = plan.msm(sw)
+    assert (got_plan.x, got_plan.y) == (want.x, want.y)

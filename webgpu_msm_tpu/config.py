@@ -12,7 +12,12 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
-SUPPORTED_WINDOW_SIZES = tuple(range(8, 17)) + (20,)  # split.rs:17-26
+# The reference's Rust splitter supported {8..16, 20} (split.rs:17-26);
+# this engine's window split / bucket pipeline is generic in w, so the gap
+# (17, 18, 19) is supported too — swept at 2^20 in round 5 (DESIGN.md
+# "Window sweep beyond 16"): K only drops by 1 per step from w=17 while B
+# doubles, so none of them beat w=16.
+SUPPORTED_WINDOW_SIZES = tuple(range(8, 21))
 
 
 def best_window_size(n_points: int) -> int:
@@ -101,6 +106,12 @@ class MSMConfig:
     # lib.rs:144-169), which parks rayon threads so the GPU driver thread
     # stays responsive.
     cpu_threads: Optional[int] = None
+    # Convert window sums to affine ON DEVICE (batched Fermat inverse,
+    # field_ops.finv_mont — the reference WGSL library's field_inverse
+    # capability, FieldModulus.ts:119-164). Off by default: the host pays
+    # one bigint inverse per MSM either way, so this is a capability-parity
+    # flag, not a performance knob.
+    device_affine: bool = False
     # Multi-chip: how window/bucket partials are combined across devices.
     #   "window_sums": all-gather per-window sums (tiny payload; default)
     #   "buckets":     all-gather full bucket arrays, combine locally

@@ -62,37 +62,76 @@ def _device_mul_16bit(points_plain: jnp.ndarray, small_scalars: jnp.ndarray):
     )
 
 
+def _host_bucket_entries(
+    points: Sequence[ExtPoint], scalars: Sequence[int]
+) -> list[tuple[int, int, ExtPoint]]:
+    """HOST bucketing: the contents of the baseline's per-window
+    Map<bucket, point> (pippengerMSMEntry.ts:67-95 — the known CPU
+    bottleneck of the baseline; the group adds stay host-side bigint math
+    on purpose). The *grouping* is a numpy digit split + stable argsort so
+    the row is runnable at 2^20 (round-4 verdict #4: the per-point Python
+    dict loop capped it at toy sizes); the point ADDS — the actual work the
+    baseline pays on the CPU — are unchanged host `ocurve.add` chains, one
+    per colliding point, exactly as many as the Map version performed.
+    """
+    from ..utils import convert
+
+    words = convert.bigints_to_words_le(
+        [int(s) % (1 << 256) for s in scalars]
+    )  # [8, n] u32 LE
+    entries: list[tuple[int, int, ExtPoint]] = []
+    for w in range(N_WINDOWS):
+        # C_BITS = 16: two digits per u32 word
+        digits = (words[w // 2] >> np.uint32(16 * (w % 2))) & np.uint32(0xFFFF)
+        order = np.argsort(digits, kind="stable")
+        ds = digits[order]
+        starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+        ends = np.r_[starts[1:], len(ds)]
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            d = int(ds[s0])
+            if d == 0:
+                continue
+            acc = points[order[s0]]
+            for i in range(s0 + 1, e0):
+                acc = ocurve.add(acc, points[order[i]])
+            entries.append((w, d, acc))
+    return entries
+
+
+# Device-chunk width for the 16-bit ladder: fixed so ONE compiled program
+# serves every input size (bucket entries stream through in chunks).
+_LADDER_CHUNK = 1 << 17
+
+
 def msm_affine(
     points: Sequence[ExtPoint], scalars: Sequence[int], config: MSMConfig
 ) -> tuple[int, int]:
-    # 1. HOST bucketing: Map<bucket, point> per window with host group adds
-    #    (pippengerMSMEntry.ts:67-95 — the known CPU bottleneck of the
-    #    baseline; kept host-side on purpose).
-    buckets: list[dict[int, ExtPoint]] = [dict() for _ in range(N_WINDOWS)]
-    for p, s in zip(points, scalars):
-        s = int(s) % (1 << 256)
-        for w in range(N_WINDOWS):
-            d = (s >> (C_BITS * w)) & ((1 << C_BITS) - 1)
-            if d == 0:
-                continue
-            cur = buckets[w].get(d)
-            buckets[w][d] = p if cur is None else ocurve.add(cur, p)
-
-    entries = [
-        (w, d, pt) for w in range(N_WINDOWS) for d, pt in buckets[w].items()
-    ]
+    # 1. HOST bucketing (numpy grouping, host bigint group adds).
+    entries = _host_bucket_entries(points, scalars)
     if not entries:
         return (0, 1)
 
-    # 2. DEVICE: bucket-value x bucket-index scalar products, one vectorized
-    #    16-bit ladder over every bucket entry of every window.
+    # 2. DEVICE: bucket-value x bucket-index scalar products, a vectorized
+    #    16-bit ladder over every bucket entry of every window, streamed in
+    #    fixed-width chunks (all chunks dispatch async before any fetch).
     m = len(entries)
-    pad_to = max(-(-m // 128) * 128, 128)
+    chunk = min(_LADDER_CHUNK, max(-(-m // 128) * 128, 128))
+    pad_to = -(-m // chunk) * chunk
     pts = tpu_engine.marshal_points([e[2] for e in entries], pad_to)
     idx = np.zeros(pad_to, dtype=np.uint32)
     idx[:m] = [e[1] for e in entries]
-    out = np.asarray(_device_mul_16bit(jnp.asarray(pts), jnp.asarray(idx)))
-    products = tpu_engine.window_sums_to_points(out)[:m]
+    outs = [
+        _device_mul_16bit(
+            jnp.asarray(pts[:, :, c : c + chunk]),
+            jnp.asarray(idx[c : c + chunk]),
+        )
+        for c in range(0, pad_to, chunk)
+    ]
+    products = [
+        p
+        for out in outs
+        for p in tpu_engine.window_sums_to_points(np.asarray(out))
+    ][:m]
 
     # 3. HOST: per-window sums (:143-153), then the window combine with
     #    2^16 scaling between windows (:158-162).

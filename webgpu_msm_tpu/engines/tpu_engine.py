@@ -78,6 +78,39 @@ def _finish_impl(carry_st):
     )
 
 
+def _finish_affine_impl(carry_st):
+    """Bucket arrays -> AFFINE window sums [2, 16, K], plain domain.
+
+    The z inverse runs ON DEVICE (batched Fermat exponentiation,
+    field_ops.finv_mont) — the reference WGSL library's field_inverse
+    capability (FieldModulus.ts:119-164) applied to the one place this
+    pipeline needs an inverse. Gated by config.device_affine.
+    """
+    wsums_mont = pippenger.reduce_buckets(carry_st)
+    x = limbs.unstack(wsums_mont[0])
+    y = limbs.unstack(wsums_mont[1])
+    zi = field_ops.finv_mont(limbs.unstack(wsums_mont[3]))
+    xa = field_ops.mont_mul(x, zi)
+    ya = field_ops.mont_mul(y, zi)
+    return jnp.stack(
+        [
+            limbs.stack(field_ops.from_mont(xa)),
+            limbs.stack(field_ops.from_mont(ya)),
+        ]
+    )
+
+
+def _call_finish(carry, window_size: int, signed: bool, device_affine: bool):
+    if device_affine:
+        return _call_stage(
+            f"finish_affine_w{window_size}_s{int(signed)}",
+            _finish_affine_impl, {}, carry,
+        )
+    return _call_stage(
+        f"finish_w{window_size}_s{int(signed)}", _finish_impl, {}, carry
+    )
+
+
 _JIT_STAGES: dict = {}
 
 
@@ -117,7 +150,7 @@ def _identity_carry(window_size: int, signed_digits: bool) -> jnp.ndarray:
 
 
 def _device_msm(points_plain, scalar_words, *, window_size, n_chunks,
-                chunk_len, signed_digits=False):
+                chunk_len, signed_digits=False, device_affine=False):
     """Staged device MSM over [3, 16, n] plain planes + [8, n] scalars.
 
     numpy inputs are device_put per batch (host->device transfer of batch
@@ -145,9 +178,7 @@ def _device_msm(points_plain, scalar_words, *, window_size, n_chunks,
             pts_b = points_plain[:, :, sl]
             sc_b = scalar_words[:, sl]
         carry = _call_stage(bname, _batch_planes_impl, static, pts_b, sc_b, carry)
-    return _call_stage(
-        f"finish_w{window_size}_s{int(signed_digits)}", _finish_impl, {}, carry
-    )
+    return _call_finish(carry, window_size, signed_digits, device_affine)
 
 
 def marshal_points(points: Sequence[ExtPoint], pad_to: int) -> np.ndarray:
@@ -203,14 +234,24 @@ def _signed_ok(config: MSMConfig, scalar_words: np.ndarray) -> bool:
 
 
 def window_sums_to_points(wsums: np.ndarray) -> list[ExtPoint]:
-    """[4, 16, K] plain digit planes -> K ExtPoints."""
+    """Window-sum planes -> K ExtPoints.
+
+    Accepts both finish-stage layouts: [4, 16, K] extended (x, y, t, z)
+    and [2, 16, K] affine (device_affine — x, y with z == 1; t = x*y is
+    recomputed host-side, K bigint muls)."""
     K = wsums.shape[-1]
+    n_coords = wsums.shape[0]
     coords = []
-    for c in range(4):
+    for c in range(n_coords):
         words = np.empty((8, K), dtype=np.uint32)
         for w_i in range(8):
             words[w_i] = wsums[c, 2 * w_i] | (wsums[c, 2 * w_i + 1] << 16)
         coords.append(convert.words_le_to_bigints(words))
+    if n_coords == 2:
+        return [
+            ExtPoint(x, y, x * y % ofield.P, 1)
+            for x, y in zip(coords[0], coords[1])
+        ]
     return [
         ExtPoint(coords[0][k], coords[1][k], coords[2][k], coords[3][k])
         for k in range(K)
@@ -240,6 +281,7 @@ def msm_window_sums_host(
             n_chunks=C,
             chunk_len=L,
             signed_digits=_signed_ok(config, sc),
+            device_affine=config.device_affine,
         )
         out_host = np.asarray(out)
     return window_sums_to_points(out_host), w
@@ -275,6 +317,7 @@ def msm_affine_batch(
         out = _device_msm(
             jnp.asarray(pts), jnp.asarray(sc), window_size=w, n_chunks=C,
             chunk_len=L, signed_digits=_signed_ok(config, sc),
+            device_affine=config.device_affine,
         )
         outs.append((out, w))  # dispatched, not fetched: device keeps working
     results = []
@@ -333,7 +376,8 @@ def _wire_batch_impl(xy_be, scalars_be, carry_st, *, window_size, n_chunks,
 
 
 def _device_msm_wire_staged(xy: np.ndarray, sc: np.ndarray, *, window_size,
-                            n_chunks, chunk_len, signed_digits):
+                            n_chunks, chunk_len, signed_digits,
+                            device_affine=False):
     """Wire MSM as the staged pipeline, with transfer/compute overlap.
 
     Each batch's (xy, scalars) rows are device_put-dispatched and the
@@ -359,9 +403,7 @@ def _device_msm_wire_staged(xy: np.ndarray, sc: np.ndarray, *, window_size,
         dxy = jax.device_put(np.ascontiguousarray(xy[b * M : (b + 1) * M]))
         dsc = jax.device_put(np.ascontiguousarray(sc[b * M : (b + 1) * M]))
         carry = _call_stage(bname, _wire_batch_impl, static, dxy, dsc, carry)
-    return _call_stage(
-        f"finish_w{window_size}_s{int(signed_digits)}", _finish_impl, {}, carry
-    )
+    return _call_finish(carry, window_size, signed_digits, device_affine)
 
 
 # 16-bit digit planes of R mod p (the Montgomery-domain 1 of the identity
@@ -414,7 +456,7 @@ def _dispatch_wire(
     with trace.phase("device msm (wire)"):
         out = _device_msm_wire_staged(
             xy, sc, window_size=w, n_chunks=C, chunk_len=L,
-            signed_digits=signed,
+            signed_digits=signed, device_affine=config.device_affine,
         )
     return out, w
 
@@ -524,9 +566,7 @@ class WirePlan:
         for b, niels in enumerate(self._niels):
             dsc = jax.device_put(np.ascontiguousarray(sc[b * M : (b + 1) * M]))
             carry = _call_stage(bname, _fixed_batch_impl, static, niels, dsc, carry)
-        out = _call_stage(
-            f"finish_w{self.w}_s{int(signed)}", _finish_impl, {}, carry
-        )
+        out = _call_finish(carry, self.w, signed, self.config.device_affine)
         return out, self.w
 
     def msm_affine(self, scalars_be: np.ndarray) -> tuple[int, int]:

@@ -174,6 +174,44 @@ def mul_plain_const(a: Sequence[jnp.ndarray], k: int) -> Digits:
     return mont_mul_const(a, (k * R) % P)
 
 
+def mont_pow_const(a: Sequence[jnp.ndarray], e: int) -> Digits:
+    """â = a·R -> (a^e)·R for a python-int exponent (device field_pow).
+
+    Left-to-right square-and-multiply under ONE lax.scan over the
+    (trace-time constant) exponent bits — 2 Montgomery products per step,
+    so the compiled graph is 2 montmuls regardless of e. The analog of the
+    reference's WGSL field_pow (FieldModulus.ts:119-145), which WebGPU ran
+    as a data-dependent while-loop per thread.
+    """
+    from jax import lax
+
+    if e == 0:
+        return limbs.digits_of_int(R_MOD_P, jnp.stack(list(a)).shape[1:])
+    A = jnp.stack(list(a))
+    bits = np.array(
+        [(e >> i) & 1 for i in reversed(range(e.bit_length()))], dtype=np.uint32
+    )
+    acc0 = jnp.stack(limbs.digits_of_int(R_MOD_P, A.shape[1:]))  # mont 1
+
+    def step(acc_st, bit):
+        sq = mont_sqr(limbs.unstack(acc_st))
+        mul = mont_mul(sq, limbs.unstack(A))
+        return jnp.stack(limbs.select(bit == 1, mul, sq)), None
+
+    acc_st, _ = lax.scan(step, acc0, jnp.asarray(bits))
+    return limbs.unstack(acc_st)
+
+
+def finv_mont(a: Sequence[jnp.ndarray]) -> Digits:
+    """Montgomery-domain field inverse: â = a·R -> (a^-1)·R; maps 0 to 0.
+
+    Fermat (e = p - 2) — the device-side field_inverse capability of the
+    reference's WGSL library (FieldModulus.ts:147-164), used here for
+    on-device affine conversion (config.device_affine).
+    """
+    return mont_pow_const(a, P - 2)
+
+
 def to_mont(a: Sequence[jnp.ndarray]) -> Digits:
     """a -> a*R mod p (constant multiply by R^2)."""
     return mont_mul_const(a, R2_MOD_P)
