@@ -67,8 +67,9 @@ def main() -> int:
         # Skip artifacts traced from an older source tree: their key embeds
         # the old source hash, so they can never load against this tree —
         # committing them would be silent dead weight (round-4 advice).
+        # Missing sidecar == pre-sidecar era == stale by construction.
         meta = f.with_name(f.name + ".meta")
-        if meta.exists() and meta.read_text().strip() != src_hash:
+        if not meta.exists() or meta.read_text().strip() != src_hash:
             n_stale += 1
             continue
         total += pack(f, AOT / "export" / (f.name + ".gz"))
