@@ -95,3 +95,24 @@ def test_committed_aot_seed_matches_source_tree():
         "committed aot/ seed was packed from a different source tree; "
         "re-run the production paths (python bench.py) then scripts/pack_aot.py"
     )
+
+
+def test_exported_call_corrupt_seed_falls_back(export_dir):
+    """A corrupt/incompatible disk artifact must degrade to a fresh trace
+    (the committed aot/ seed is a cache, not a dependency)."""
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x + jnp.uint32(7)
+
+    x = jnp.zeros(4, jnp.uint32)
+    key = cache.export_cache_key("c", x)
+    (export_dir / f"c-{key}.stablehlo").write_bytes(b"not a stablehlo module")
+    with pytest.warns(UserWarning, match="re-tracing"):
+        out = np.asarray(cache.exported_call("c", fn, x))
+    assert out[0] == 7 and len(calls) == 1
+    # the re-traced artifact replaced the corrupt one and reloads cleanly
+    cache._EXPORTED.clear()
+    assert np.asarray(cache.exported_call("c", fn, x))[0] == 7
+    assert len(calls) == 1

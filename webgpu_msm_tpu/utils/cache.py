@@ -146,25 +146,45 @@ def exported_call(name: str, fn, *args):
         return jax.jit(fn)(*args)
 
     key = export_cache_key(name, *args)
+
+    def trace_and_store():
+        shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+        exp = jexport.export(jax.jit(fn))(*shapes)
+        d = _export_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"{name}-{key}.stablehlo"
+        tmp = path.with_suffix(".tmp")
+        tmp.write_bytes(exp.serialize())
+        os.replace(tmp, path)
+        # Sidecar provenance: the key already *contains* the source hash
+        # (stale programs can't load), but the hash inside the key is
+        # opaque — the sidecar lets pack_aot.py detect artifacts from an
+        # older tree instead of silently committing dead weight
+        # (round-4 advice: aot/ staleness detection).
+        path.with_name(path.name + ".meta").write_text(_source_hash())
+        return exp
+
     exp = _EXPORTED.get(key)
     if exp is None:
         data = _load_export_bytes(name, key)
         if data is not None:
-            exp = jexport.deserialize(data)
+            # A disk/seed artifact is a CACHE: any failure deserializing or
+            # calling it (corrupt file, runtime/serialization skew vs the
+            # machine that traced it) must degrade to a fresh trace, never
+            # break the production path.
+            try:
+                exp = jexport.deserialize(data)
+                out = exp.call(*args)
+                _EXPORTED[key] = exp
+                return out
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"cached export {name!r} unusable ({e!r}); re-tracing"
+                )
+                exp = trace_and_store()
         else:
-            shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
-            exp = jexport.export(jax.jit(fn))(*shapes)
-            d = _export_dir()
-            d.mkdir(parents=True, exist_ok=True)
-            path = d / f"{name}-{key}.stablehlo"
-            tmp = path.with_suffix(".tmp")
-            tmp.write_bytes(exp.serialize())
-            os.replace(tmp, path)
-            # Sidecar provenance: the key already *contains* the source hash
-            # (stale programs can't load), but the hash inside the key is
-            # opaque — the sidecar lets pack_aot.py detect artifacts from an
-            # older tree instead of silently committing dead weight
-            # (round-4 advice: aot/ staleness detection).
-            path.with_name(path.name + ".meta").write_text(_source_hash())
+            exp = trace_and_store()
         _EXPORTED[key] = exp
     return exp.call(*args)
