@@ -113,3 +113,35 @@ def test_tree_add_points_matches_oracle():
     for p in pts:
         want = curve.add(want, p)
     assert curve.to_affine(got_pt) == curve.to_affine(want)
+
+
+def test_sharded_fixed_base_plan():
+    """ShardedFixedBasePlan: mesh-sharded resident bases, scalars-only jobs
+    (the multi-chip form of the round-5 fixed-base prover plan). Reuses the
+    dryrun statics (w=8, 8x8, signed) so the staged programs come from the
+    same cache every other sharded path compiles."""
+    from webgpu_msm_tpu.parallel import ShardedFixedBasePlan
+
+    D = len(jax.devices())
+    if D != 8:
+        pytest.skip(f"needs the 8-device virtual mesh, have {D}")
+    W, C, L = 8, 8, 8
+    n = D * C * L
+    pts = fixtures.distinct_points(64, seed=17)
+    pts = [pts[i % 64] for i in range(n)]
+    planes = marshal_points(pts, n)
+    mesh = default_mesh(D)
+    plan = ShardedFixedBasePlan(
+        _to_niels_stacked(planes), window_size=W, n_chunks=C, chunk_len=L,
+        mesh=mesh, signed_digits=True,
+    )
+
+    for seed in (18, 19):  # two jobs reuse the resident sharded bases
+        scalars = fixtures.random_scalars(n, seed=seed)
+        wsums = plan.window_sums(jnp.asarray(marshal_scalars(scalars, n)))
+        got = _decode(wsums, W)
+        want = curve.to_affine(omsm.msm(pts, scalars, window_size=W))
+        assert got == want, f"job seed={seed}"
+
+    with pytest.raises(ValueError):
+        plan.window_sums(jnp.zeros((8, n // 2), jnp.uint32))

@@ -214,6 +214,65 @@ def msm_window_sums_sharded(
     return out
 
 
+class ShardedFixedBasePlan:
+    """Fixed-base (SRS) prover plan over a device mesh.
+
+    The multi-chip form of the single-chip `api.MSMPlan`/`WirePlan`
+    (round-5): the Montgomery-Niels base planes are placed on the mesh
+    ONCE — sharded over the point axis, so an SRS larger than one chip's
+    HBM scales with the mesh — and every job streams only its [8, n]
+    scalar words. Jobs share the compiled staged pipeline; the only
+    collective stays the one all_gather + group-law tree combine.
+
+        plan = ShardedFixedBasePlan(pts_niels, window_size=..., mesh=mesh)
+        wsums = plan.window_sums(scalar_words)   # per job
+
+    `signed_digits` is a trace-time static of the accumulate stage, so a
+    plan is built for one recoding mode; callers check the scalar range
+    exactly as with `msm_window_sums_sharded`.
+    """
+
+    def __init__(
+        self,
+        points_niels: jnp.ndarray,  # [3, 16, n_global] Montgomery NIELS planes
+        *,
+        window_size: int,
+        n_chunks: int,
+        chunk_len: int,
+        mesh: Mesh,
+        mode: str = "window_sums",
+        signed_digits: bool = False,
+    ):
+        self.mesh = mesh
+        self.n_global = points_niels.shape[-1]
+        assert self.n_global == mesh.size * n_chunks * chunk_len, (
+            self.n_global, mesh.size, n_chunks, chunk_len,
+        )
+        self._stages = sharded_stages(
+            window_size=window_size, n_chunks=n_chunks, chunk_len=chunk_len,
+            mesh=mesh, mode=mode, signed_digits=signed_digits,
+        )
+        self._points = jax.device_put(
+            points_niels, NamedSharding(mesh, P(None, None, AXIS))
+        )
+
+    def window_sums(self, scalar_words: jnp.ndarray) -> jnp.ndarray:
+        """One job: [8, n_global] LE scalar words -> replicated Montgomery
+        window sums [4, 16, K] (decode like msm_window_sums_sharded)."""
+        if scalar_words.shape[-1] != self.n_global:
+            raise ValueError(
+                f"plan holds {self.n_global} bases but got "
+                f"{scalar_words.shape[-1]} scalars"
+            )
+        sw = jax.device_put(
+            scalar_words, NamedSharding(self.mesh, P(None, AXIS))
+        )
+        out = self._stages[0][1](self._points, sw)
+        for _, fn in self._stages[1:]:
+            out = fn(out)
+        return out
+
+
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
