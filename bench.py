@@ -377,6 +377,65 @@ def measure_native_baseline(n_pow: int, window: int | None) -> dict:
     }
 
 
+DEMOX_CACHE = REPO / ".bench_demox.json"
+
+
+def measure_demox_baseline(n_pow: int) -> dict:
+    """The Demox `webgpu_pippenger_msm` analog row at a judged size — the
+    comparator the reference's prize criterion scored against (>=10% over
+    this row averaged over 2^16..2^20, README.md:112-118,
+    pippengerMSMEntry.ts:54). Host c=16 bucketing (bigint group adds) +
+    device 16-bit ladders + host combine; same input distribution as the
+    headline clock."""
+    from webgpu_msm_tpu.config import MSMConfig
+    from webgpu_msm_tpu.engines import baseline_engine
+    from webgpu_msm_tpu.oracle import curve
+    from webgpu_msm_tpu.oracle.testdata import base_point
+
+    n = 1 << n_pow
+    _, words, expected = build_inputs(n)
+    scalars = []
+    for i in range(n):
+        v = 0
+        for wd in range(8):
+            v |= int(words[wd, i]) << (32 * wd)
+        scalars.append(v)
+    pts = [base_point()] * n
+    t0 = time.perf_counter()
+    got = baseline_engine.msm_affine(pts, scalars, MSMConfig())
+    took = time.perf_counter() - t0
+    return {
+        "n": n,
+        "wall_s": took,
+        "points_per_s": n / took,
+        "bit_exact": bool(got == expected),
+    }
+
+
+def get_demox_baseline(n_pow: int) -> dict | None:
+    """Cached Demox-baseline row (hostname-keyed, bit_exact-gated like
+    get_baseline); measuring 2^20 costs ~minutes of host bigint adds, so
+    it is measured once per machine."""
+    import socket
+
+    host = socket.gethostname()
+    cached = {}
+    if DEMOX_CACHE.exists():
+        cached = json.loads(DEMOX_CACHE.read_text())
+        if cached.get("host", host) != host:
+            cached = {}
+    out = dict(cached)
+    out["host"] = host
+    key = str(n_pow)
+    if out.get(key, {}).get("bit_exact") is not True:
+        out[key] = measure_demox_baseline(n_pow)
+    if out != cached:
+        DEMOX_CACHE.write_text(json.dumps(out))
+    if not out[key].get("bit_exact"):
+        raise SystemExit("demox baseline measurement was not bit-exact")
+    return out[key]
+
+
 def get_baseline(n_pow: int, window: int | None) -> dict:
     """Both baseline anchors, cached: {"python": {...}, "native_st": {...}}.
 
@@ -452,10 +511,17 @@ def main() -> int:
                 args.n_pow, args.fixed_jobs, args.window
             )
 
-    vs = vs_python = None
+    vs = vs_python = vs_demox = None
     base = None
+    demox = None
     if not args.skip_baseline:
         base = get_baseline(args.n_pow, args.window)
+        demox = get_demox_baseline(args.n_pow)
+        if demox is not None and wall is not None:
+            # The prize's actual comparator (>=10% over the Demox row,
+            # README.md:112-118): OUR wall clock (marshalling included)
+            # over ITS wall clock, same inputs — apples to apples.
+            vs_demox = wall["wall_points_per_s"] / demox["points_per_s"]
         if "python" in base:
             vs_python = dev["points_per_s"] / base["python"]["points_per_s"]
         if "native_st" in base:
@@ -474,6 +540,8 @@ def main() -> int:
     }
     if vs_python is not None:
         line["vs_python_oracle"] = round(vs_python, 3)
+    if vs_demox is not None:
+        line["vs_demox_baseline"] = round(vs_demox, 3)
     if wall is not None:
         # The scoring-clock number: wall time of the full compute_msm call
         # from U32Array inputs, marshalling included (Benchmark.tsx:31-34).
@@ -496,6 +564,8 @@ def main() -> int:
         detail["batch"] = batch
     if fixed is not None:
         detail["fixed_base_batch"] = fixed
+    if demox is not None:
+        detail["demox_baseline"] = demox
     print(json.dumps(line))
     print(json.dumps({"detail": detail}), file=sys.stderr)
     if (
